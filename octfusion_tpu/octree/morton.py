@@ -1,0 +1,64 @@
+"""Morton (Z-order) key math, int32-safe.
+
+Key layout matches the per-bit interleaving the reference relies on
+(`/root/reference/models/networks/dualoctree_networks/dual_octree.py:129-138`
+treats ``arange(8**d)`` as the keys of a full octree level): for every bit
+level ``i`` the bits of ``(x, y, z)`` occupy positions ``(3i+2, 3i+1, 3i)``,
+i.e. ``x`` is the most significant of each triplet.
+
+Unlike the reference (48-bit keys + batch index in bits 48+, which forces
+int64 everywhere), we keep Morton codes in int32 — depth <= 10 needs only 30
+bits — and carry the batch index as a separate int32 array.  Lexicographic
+``(batch, key)`` order replaces the packed 64-bit order; see
+:func:`searchsorted_pair` in ``octfusion_tpu/ops/search.py``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+MAX_DEPTH = 10
+# Sentinel for padded (invalid) key slots: sorts after every valid key.
+INVALID_KEY = jnp.iinfo(jnp.int32).max
+
+
+def _part_bits(v: jnp.ndarray, depth: int) -> jnp.ndarray:
+    """Spread the low `depth` bits of v so that bit i moves to bit 3*i."""
+    v = v.astype(jnp.uint32)
+    out = jnp.zeros_like(v)
+    for i in range(depth):
+        out = out | (((v >> i) & jnp.uint32(1)) << jnp.uint32(3 * i))
+    return out
+
+
+def _compact_bits(code: jnp.ndarray, depth: int) -> jnp.ndarray:
+    """Inverse of _part_bits: gather every 3rd bit."""
+    code = code.astype(jnp.uint32)
+    out = jnp.zeros_like(code)
+    for i in range(depth):
+        out = out | (((code >> jnp.uint32(3 * i)) & jnp.uint32(1)) << jnp.uint32(i))
+    return out
+
+
+def xyz2key(x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray, depth: int) -> jnp.ndarray:
+    """Interleave integer coordinates into a Morton key at `depth`.
+
+    Bit of x at level i lands at position 3i+2, y at 3i+1, z at 3i.
+    """
+    assert depth <= MAX_DEPTH
+    key = (
+        (_part_bits(x, depth) << jnp.uint32(2))
+        | (_part_bits(y, depth) << jnp.uint32(1))
+        | _part_bits(z, depth)
+    )
+    return key.astype(jnp.int32)
+
+
+def key2xyz(key: jnp.ndarray, depth: int):
+    """Decode a Morton key at `depth` into (x, y, z) int32 coordinates."""
+    assert depth <= MAX_DEPTH
+    k = key.astype(jnp.uint32)
+    x = _compact_bits(k >> jnp.uint32(2), depth)
+    y = _compact_bits(k >> jnp.uint32(1), depth)
+    z = _compact_bits(k, depth)
+    return x.astype(jnp.int32), y.astype(jnp.int32), z.astype(jnp.int32)
