@@ -58,6 +58,9 @@ class OctreeSpec:
             )
         for d in range(self.full_depth + 1, self.depth + 1):
             assert self.node_caps[d] % 8 == 0
+            # children cannot outnumber 8x the parents (level-move helpers
+            # rely on node_caps[d] // 8 <= node_caps[d-1])
+            assert self.node_caps[d] <= 8 * self.node_caps[d - 1]
 
     @staticmethod
     def create(
