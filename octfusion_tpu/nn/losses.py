@@ -1,0 +1,88 @@
+"""VAE geometry losses
+(`/root/reference/models/networks/dualoctree_networks/loss.py`).
+
+The SDF-gradient supervision differentiates the MPU w.r.t. query positions
+*inside* the training loss (`loss.py:13-20` uses create_graph=True, i.e.
+double backward).  Here the inner spatial gradient is forward-mode (3 JVPs —
+query dim is 3), which composes cheaply with the outer reverse-mode pass.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..octree.octree import Octree
+from ..ops import mpu as mpu_ops
+
+
+def octree_split_loss(logits: Dict[int, jnp.ndarray], octree: Octree):
+    """Per-depth split cross-entropy + accuracy (`loss.py:100-112`)."""
+    out = {}
+    for d, logit in logits.items():
+        mask = octree.node_mask(d)
+        label = octree.nempty_mask(d).astype(jnp.int32)
+        logp = jax.nn.log_softmax(logit.astype(jnp.float32), axis=-1)
+        ce = -jnp.take_along_axis(logp, label[:, None], axis=-1)[:, 0]
+        denom = jnp.maximum(jnp.sum(mask), 1)
+        out[f"loss_{d}"] = jnp.sum(jnp.where(mask, ce, 0.0)) / denom
+        pred = jnp.argmax(logit, axis=-1)
+        out[f"accu_{d}"] = (
+            jnp.sum(jnp.where(mask, (pred == label), False)) / denom
+        )
+    return out
+
+
+def mpu_with_grad(pos, pt_batch, reg_levels, octree, full_depth, depth_end):
+    """(sdf [N], dsdf/dpos [N,3]) — inner gradient via 3 forward-mode JVPs."""
+
+    def f(p):
+        return mpu_ops.mpu_eval(
+            p, pt_batch, reg_levels, octree, full_depth, depth_end
+        )[0]
+
+    sdf = f(pos)
+    grads = []
+    for axis in range(3):
+        tangent = jnp.zeros_like(pos).at[:, axis].set(1.0)
+        _, dsdf = jax.jvp(f, (pos,), (tangent,))
+        grads.append(dsdf)
+    return sdf, jnp.stack(grads, axis=-1)
+
+
+def sdf_reg_loss(sdf, grad, sdf_gt, grad_gt, suffix=""):
+    """200*mse(sdf) + 1*mse(grad) (`loss.py:23-30`)."""
+    return {
+        f"sdf_loss{suffix}": jnp.mean((sdf - sdf_gt) ** 2) * 200.0,
+        f"grad_loss{suffix}": jnp.mean((grad - grad_gt) ** 2) * 1.0,
+    }
+
+
+def geometry_loss(
+    vae_out: Dict,
+    pos: jnp.ndarray,
+    pt_batch: jnp.ndarray,
+    sdf_gt: jnp.ndarray,
+    grad_gt: jnp.ndarray,
+    full_depth: int,
+    depth_stop: int,
+    depth_out: int,
+    kl_weight: float = 0.1,
+):
+    """Full VAE objective (`loss.py:164-178`): per-depth split CE, per-depth
+    SDF+gradient regression, KL.  Returns a dict including the scalar
+    'loss'."""
+    octree_out = vae_out["octree_out"]
+    output = octree_split_loss(vae_out["logits"], octree_out)
+    for d in range(depth_stop, depth_out + 1):
+        sdf, grad = mpu_with_grad(
+            pos, pt_batch, vae_out["reg_voxs"][d], octree_out,
+            full_depth, d,
+        )
+        output.update(sdf_reg_loss(sdf, grad, sdf_gt, grad_gt, f"_{d}"))
+    output["kl_loss"] = kl_weight * vae_out["kl_loss"]
+    total = sum(v for k, v in output.items() if "loss" in k)
+    output["loss"] = total
+    return output

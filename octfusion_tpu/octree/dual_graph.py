@@ -148,18 +148,27 @@ class CarriedEdges(struct.PyTreeNode):
 
 
 class DualGraph(struct.PyTreeNode):
-    """Dual graphs for all levels ``full_depth..depth`` plus the octree."""
+    """Dual graphs for levels ``full_depth..last_depth`` plus the octree.
+
+    ``carried`` holds the pre-self-loop edges of the deepest built level so
+    the graph can be extended one level at a time during decode-side octree
+    growth (`graph_vae.py:202-210`)."""
 
     spec: GraphSpec = struct.field(pytree_node=False)
     octree: Octree
     levels: Tuple[GraphLevel, ...]
-    # per-depth leaf index maps shared by all levels (depths fd..depth):
+    carried: CarriedEdges
+    # per-depth leaf index maps shared by all levels (depths fd..last):
     # leaf_rank[dd][slot] = rank among leaves (valid leaves only)
     # leaf_pos[dd][k]     = slot of the k-th leaf
     # lnum[dd]            = number of leaves
     leaf_rank: Tuple[jnp.ndarray, ...]
     leaf_pos: Tuple[jnp.ndarray, ...]
     lnum: jnp.ndarray  # int32 [depth+1] (entries < full_depth unused)
+
+    @property
+    def last_depth(self) -> int:
+        return self.spec.full_depth + len(self.levels) - 1
 
     def level(self, d: int) -> GraphLevel:
         return self.levels[d - self.spec.full_depth]
@@ -474,16 +483,18 @@ def finalize_level(
     )
 
 
-def build_dual_graph(octree: Octree, edge_factor: int = 10) -> DualGraph:
-    """Build dual graphs for all levels full_depth..depth
+def build_dual_graph(
+    octree: Octree, edge_factor: int = 10, up_to: int = None
+) -> DualGraph:
+    """Build dual graphs for levels full_depth..``up_to`` (default: depth)
     (``DualOctree(octree); post_processing_for_docnn()``)."""
     spec = GraphSpec(octree.spec, edge_factor)
-    fd, depth = spec.full_depth, spec.depth
+    fd = spec.full_depth
+    last = spec.depth if up_to is None else up_to
 
     leaf_maps = {}
     leaf_rank, leaf_pos, lnum = [], [], []
-    lnum_full = [jnp.asarray(0, jnp.int32)] * fd
-    for dd in range(fd, depth + 1):
+    for dd in range(fd, last + 1):
         leaf_maps[dd] = _leaf_maps(octree, dd)
         leaf_rank.append(leaf_maps[dd][0])
         leaf_pos.append(leaf_maps[dd][1])
@@ -491,15 +502,52 @@ def build_dual_graph(octree: Octree, edge_factor: int = 10) -> DualGraph:
 
     carried = dense_level_edges(octree, spec)
     levels = [finalize_level(octree, spec, carried, leaf_maps)]
-    for d in range(fd + 1, depth + 1):
+    for d in range(fd + 1, last + 1):
         carried = expand_level_edges(octree, spec, carried)
         levels.append(finalize_level(octree, spec, carried, leaf_maps))
 
+    lnum_arr = jnp.zeros((spec.depth + 1,), jnp.int32)
+    for i, dd in enumerate(range(fd, last + 1)):
+        lnum_arr = lnum_arr.at[dd].set(lnum[i])
     return DualGraph(
         spec=spec,
         octree=octree,
         levels=tuple(levels),
+        carried=carried,
         leaf_rank=tuple(leaf_rank),
         leaf_pos=tuple(leaf_pos),
-        lnum=jnp.stack(lnum_full + lnum),
+        lnum=lnum_arr,
+    )
+
+
+def extend_dual_graph(g: DualGraph, octree: Octree) -> DualGraph:
+    """Add the next level's graph after the octree grew one depth deeper.
+
+    ``octree`` must be ``g.octree`` split at ``g.last_depth`` and grown to
+    ``g.last_depth + 1``; leaf maps of the split depth are recomputed (its
+    leaves changed when children were assigned)."""
+    spec = g.spec
+    fd = spec.full_depth
+    d_prev = g.last_depth
+    d_new = d_prev + 1
+
+    lm_prev = _leaf_maps(octree, d_prev)
+    lm_new = _leaf_maps(octree, d_new)
+    leaf_maps = {}
+    for i, dd in enumerate(range(fd, d_prev)):
+        leaf_maps[dd] = (g.leaf_rank[i], g.leaf_pos[i], g.lnum[dd])
+    leaf_maps[d_prev] = lm_prev
+    leaf_maps[d_new] = lm_new
+
+    carried = expand_level_edges(octree, spec, g.carried)
+    lvl = finalize_level(octree, spec, carried, leaf_maps)
+
+    lnum_arr = g.lnum.at[d_prev].set(lm_prev[2]).at[d_new].set(lm_new[2])
+    return g.replace(
+        octree=octree,
+        levels=g.levels + (lvl,),
+        carried=carried,
+        leaf_rank=g.leaf_rank[: d_prev - fd] + (lm_prev[0], lm_new[0]),
+        leaf_pos=g.leaf_pos[: d_prev - fd] + (lm_prev[1], lm_new[1]),
+        lnum=lnum_arr,
     )

@@ -1,0 +1,205 @@
+"""MPU oracle tests + GraphVAE end-to-end forward/backward/growth."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from octfusion_tpu.octree.octree import OctreeSpec, build_octree, merge_octrees
+from octfusion_tpu.octree.dual_graph import build_dual_graph
+from octfusion_tpu.ops import mpu as mpu_ops
+from octfusion_tpu.nn import losses
+from octfusion_tpu.nn.vae import GraphVAE, copy_topology_octree
+
+
+def make_octree(seed=0, depth=4, full_depth=2, n=250, batch=1):
+    rng = np.random.RandomState(seed)
+    octs = []
+    for _ in range(batch):
+        v = rng.normal(size=(n, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        spec = OctreeSpec.create(
+            depth, full_depth, 1, finest_cap_per_sample=4096, decay=1.0
+        )
+        octs.append(
+            build_octree(
+                jnp.asarray((0.6 * v).astype(np.float32)),
+                jnp.asarray(v.astype(np.float32)),
+                spec,
+            )
+        )
+    return merge_octrees(octs) if batch > 1 else octs[0]
+
+
+def brute_mpu(pos, pb, reg_levels, o, fd, d_end):
+    from octfusion_tpu.octree import morton as M
+
+    corners_off = np.array(
+        [[0, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1, 1],
+         [1, 0, 0], [1, 0, 1], [1, 1, 0], [1, 1, 1]], np.float64
+    )
+    n = pos.shape[0]
+    num = np.zeros(n)
+    den = np.zeros(n)
+    covered = np.zeros(n, bool)
+    for dd in range(fd, d_end + 1):
+        scale = 2**dd
+        keys = np.asarray(o.keys[dd])
+        bts = np.asarray(o.batch[dd])
+        child = np.asarray(o.child[dd])
+        nn = int(o.nnum[dd])
+        lookup = {
+            (int(bts[i]), int(keys[i])): i for i in range(nn)
+        }
+        reg = np.asarray(reg_levels[dd])
+        for p in range(n):
+            xyzf = (pos[p] + 1.0) * scale / 2.0 - 0.5
+            xyzi = np.floor(xyzf)
+            any_valid = False
+            for c in range(8):
+                corner = xyzi + corners_off[c]
+                if not ((corner > -1).all() and (corner < scale).all()):
+                    continue
+                k = int(
+                    np.asarray(
+                        M.xyz2key(
+                            jnp.asarray([int(corner[0])]),
+                            jnp.asarray([int(corner[1])]),
+                            jnp.asarray([int(corner[2])]),
+                            dd,
+                        )
+                    )[0]
+                )
+                slot = lookup.get((int(pb[p]), k))
+                if slot is None:
+                    continue
+                if dd < d_end and child[slot] >= 0:
+                    continue
+                if dd == d_end:
+                    any_valid = True
+                cf = xyzf - corner
+                w = np.prod(1.0 - np.abs(cf)) * (dd**2 / 50.0)
+                cf2 = cf * (2.0 / scale)
+                fval = np.dot(reg[slot, :3], cf2) + reg[slot, 3]
+                num[p] += w * fval
+                den[p] += w
+            covered[p] |= any_valid
+    return num / (den + 1e-8), covered
+
+
+def test_mpu_matches_bruteforce():
+    o = make_octree(seed=0, batch=2)
+    fd, depth = o.spec.full_depth, o.spec.depth
+    rng = np.random.RandomState(1)
+    reg = {
+        dd: rng.normal(size=(o.spec.node_caps[dd], 4)).astype(np.float32)
+        for dd in range(fd, depth + 1)
+    }
+    # zero out padded rows like the decoder does
+    for dd in reg:
+        reg[dd][int(o.nnum[dd]):] = 0
+    pos = rng.uniform(-0.99, 0.99, size=(64, 3)).astype(np.float32)
+    pb = rng.randint(0, 2, size=(64,)).astype(np.int32)
+    got_sdf, got_cov = mpu_ops.mpu_eval(
+        jnp.asarray(pos), jnp.asarray(pb),
+        {k: jnp.asarray(v) for k, v in reg.items()}, o, fd, depth,
+    )
+    ref_sdf, ref_cov = brute_mpu(pos.astype(np.float64), pb, reg, o, fd, depth)
+    np.testing.assert_allclose(np.asarray(got_sdf), ref_sdf, rtol=1e-3, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(got_cov), ref_cov)
+
+
+def test_mpu_grad_matches_fd():
+    """Forward-mode spatial gradient vs numeric finite differences."""
+    o = make_octree(seed=2)
+    fd, depth = o.spec.full_depth, o.spec.depth
+    rng = np.random.RandomState(3)
+    reg = {
+        dd: jnp.asarray(
+            rng.normal(size=(o.spec.node_caps[dd], 4)).astype(np.float32)
+        )
+        for dd in range(fd, depth + 1)
+    }
+    pos = rng.uniform(-0.6, 0.6, size=(16, 3)).astype(np.float32)
+    pb = np.zeros(16, np.int32)
+    sdf, grad = losses.mpu_with_grad(
+        jnp.asarray(pos), jnp.asarray(pb), reg, o, fd, depth
+    )
+    eps = 1e-3
+    for axis in range(3):
+        pp = pos.copy(); pp[:, axis] += eps
+        pm = pos.copy(); pm[:, axis] -= eps
+        sp = np.asarray(mpu_ops.mpu_eval(jnp.asarray(pp), jnp.asarray(pb), reg, o, fd, depth)[0])
+        sm = np.asarray(mpu_ops.mpu_eval(jnp.asarray(pm), jnp.asarray(pb), reg, o, fd, depth)[0])
+        fdg = (sp - sm) / (2 * eps)
+        # exclude points whose neighbourhood cell changed between +/- eps
+        ok = np.abs(fdg - np.asarray(grad[:, axis])) < 5e-2
+        assert ok.mean() > 0.8, f"axis {axis}: {ok.mean()}"
+
+
+def tiny_vae(o):
+    return GraphVAE(
+        depth=o.spec.depth, full_depth=o.spec.full_depth,
+        depth_stop=3, depth_out=o.spec.depth,
+        embed_dim=2, resblk_num=2,
+        channels=(4, 8, 8, 8, 8),
+        use_checkpoint=False,
+    )
+
+
+def test_vae_forward_loss_grad():
+    o = make_octree(seed=4, batch=2, n=150)
+    g = build_dual_graph(o)
+    vae = tiny_vae(o)
+    key = jax.random.PRNGKey(0)
+    params = vae.init(key, g, g, key)
+
+    rng = np.random.RandomState(5)
+    pos = jnp.asarray(rng.uniform(-0.8, 0.8, size=(64, 3)).astype(np.float32))
+    pb = jnp.asarray(rng.randint(0, 2, size=(64,)).astype(np.int32))
+    sdf_gt = jnp.asarray(rng.normal(size=(64,)).astype(np.float32) * 0.1)
+    grad_gt = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+
+    def loss_fn(p):
+        out = vae.apply(p, g, g, key)
+        ld = losses.geometry_loss(
+            out, pos, pb, sdf_gt, grad_gt,
+            o.spec.full_depth, 3, o.spec.depth, kl_weight=0.1,
+        )
+        return ld["loss"], ld
+
+    (loss, ld), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.isfinite(x).all()) for x in flat)
+    # at least some grads nonzero
+    assert any(float(jnp.abs(x).max()) > 0 for x in flat)
+    for k in ld:
+        assert np.isfinite(float(ld[k])), k
+
+
+def test_vae_decode_grow():
+    """Growing decode runs under jit and produces a valid octree whose
+    topology matches its own predicted splits."""
+    o = make_octree(seed=6, n=150)
+    g = build_dual_graph(o)
+    vae = tiny_vae(o)
+    key = jax.random.PRNGKey(1)
+    params = vae.init(key, g, g, key)
+
+    # encode, then decode with growth from the copied topology
+    octree_small = copy_topology_octree(o, 3)
+    g_small = build_dual_graph(octree_small, up_to=3)
+
+    def run(p):
+        mean, logvar = vae.apply(p, g, method=GraphVAE.encode)
+        out = vae.apply(p, mean, g_small, method=GraphVAE.decode_grow)
+        return out
+
+    out = jax.jit(run)(params)
+    oc = out["octree_out"]
+    for d in range(3, o.spec.depth):
+        label = np.asarray(jnp.argmax(out["logits"][d], -1))
+        nmask = np.asarray(oc.node_mask(d))
+        ne = np.asarray(oc.nempty_mask(d))
+        np.testing.assert_array_equal(ne[nmask], (label > 0)[nmask])
+        assert int(oc.nnum[d + 1]) == 8 * int(oc.nnum_nempty[d])
