@@ -1,0 +1,113 @@
+"""Continuous-time ancestral sampler as a single ``lax.scan``
+(`/root/reference/models/octfusion_model_union.py:300-352`).
+
+The whole 200-step loop compiles once; the denoiser is called with the
+log-SNR value as its time conditioning (the reference's ``noise_cond``).
+The lr stage snaps outputs to {-1, +1} once t drops below the truncation
+index and stops injecting noise past it (`octfusion_model_union.py:324-344`,
+TRUNCATED_TIME = 0.7).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from .schedule import log_snr_to_alpha_sigma, sampling_time_pairs
+
+TRUNCATED_TIME = 0.7
+
+
+def sample_loop(
+    denoise_fn: Callable,   # (x, log_snr[B], x_self_cond) -> output
+    key,
+    shape,
+    batch_size: int,
+    steps: int,
+    log_snr_fn,
+    df_type: str = "x0",
+    truncated_index: float = 0.0,
+    snap_sign: bool = False,
+):
+    """Returns the final state after ``steps`` ancestral updates."""
+    t_arr, t_next_arr = sampling_time_pairs(steps)
+    key, nkey = jax.random.split(key)
+    x = jax.random.normal(nkey, shape, jnp.float32)
+    x_start = jnp.zeros(shape, jnp.float32)
+    step_keys = jax.random.split(key, steps)
+
+    def step(carry, inp):
+        x, x_start = carry
+        t, t_next, k = inp
+        snr = log_snr_fn(t)
+        snr_next = log_snr_fn(t_next)
+        tb = jnp.full((batch_size,), snr, jnp.float32)
+        out = denoise_fn(x, tb, x_start)
+        if snap_sign:
+            out = jnp.where(t < truncated_index, jnp.sign(out), out)
+        if df_type == "x0":
+            alpha, sigma = log_snr_to_alpha_sigma(snr)
+            alpha_next, sigma_next = log_snr_to_alpha_sigma(snr_next)
+            c = -jnp.expm1(snr - snr_next)
+            mean = alpha_next * (x * (1 - c) / alpha + c * out)
+            var = (sigma_next**2) * c
+            noise = jnp.where(
+                t_next > truncated_index,
+                jax.random.normal(k, shape, jnp.float32),
+                0.0,
+            )
+            x_new = mean + jnp.sqrt(jnp.maximum(var, 0.0)) * noise
+            return (x_new, out), None
+        elif df_type == "eps":
+            alpha, sigma = log_snr_to_alpha_sigma(snr)
+            alpha_next, sigma_next = log_snr_to_alpha_sigma(snr_next)
+            x0 = (x - out * sigma) / jnp.maximum(alpha, 1e-8)
+            x_new = x0 * alpha_next + out * sigma_next
+            return (x_new, x0), None
+        raise ValueError(df_type)
+
+    (x, _), _ = jax.lax.scan(step, (x, x_start), (t_arr, t_next_arr, step_keys))
+    return x
+
+
+def diffusion_loss(
+    denoise_fn: Callable,   # (noised, log_snr[B]) -> output
+    key,
+    x0: jnp.ndarray,
+    batch_id: jnp.ndarray,  # per-element sample index (or None for dense)
+    batch_size: int,
+    log_snr_fn,
+    df_type: str = "x0",
+    mask=None,
+):
+    """Continuous-time denoising MSE (`octfusion_model_union.py:242-269`).
+
+    For dense states pass batch_id=None (leading axis is the batch).  For
+    graph states pass per-vertex batch ids and a validity mask."""
+    tkey, nkey = jax.random.split(key)
+    times = jax.random.uniform(tkey, (batch_size,))
+    noise = jax.random.normal(nkey, x0.shape, x0.dtype)
+    snr = log_snr_fn(times)
+    alpha, sigma = log_snr_to_alpha_sigma(snr)
+    if batch_id is None:
+        bshape = (batch_size,) + (1,) * (x0.ndim - 1)
+        a = alpha.reshape(bshape)
+        s = sigma.reshape(bshape)
+    else:
+        bid = jnp.clip(batch_id, 0, batch_size - 1)
+        a = alpha[bid][:, None]
+        s = sigma[bid][:, None]
+    noised = a * x0 + s * noise
+    if mask is not None:
+        noised = jnp.where(mask[:, None], noised, 0.0)
+    out = denoise_fn(noised, snr)
+    target = x0 if df_type == "x0" else noise
+    err = (out - target) ** 2
+    if mask is not None:
+        err = jnp.where(mask[:, None], err, 0.0)
+        denom = jnp.maximum(jnp.sum(mask) * x0.shape[-1], 1)
+        return jnp.sum(err) / denom
+    return jnp.mean(err)

@@ -1,0 +1,238 @@
+"""Host-side mesh utilities: iso-surface extraction, OBJ/PLY IO, surface
+sampling.
+
+The reference leans on skimage.measure.marching_cubes + trimesh
+(`/root/reference/models/octfusion_model_union.py:435-468`); neither is in
+this image, so we ship a vectorised numpy *marching tetrahedra* (each cube
+split into 6 tets — table-free, watertight on shared faces) plus minimal
+OBJ/PLY writers and area-weighted surface sampling for the metrics stack.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# 6-tetrahedra decomposition of the unit cube (corner indices 0..7 with
+# corner c having coords ((c>>2)&1, (c>>1)&1, c&1) — x-major like our voxel
+# indexing).  All tets share the main diagonal 0-7 so faces match between
+# neighbouring cubes.
+_TETS = np.array(
+    [
+        [0, 4, 6, 7],
+        [0, 6, 2, 7],
+        [0, 2, 3, 7],
+        [0, 3, 1, 7],
+        [0, 1, 5, 7],
+        [0, 5, 4, 7],
+    ],
+    np.int64,
+)
+_CORNER_OFF = np.array(
+    [[(c >> 2) & 1, (c >> 1) & 1, c & 1] for c in range(8)], np.int64
+)
+
+
+def marching_tetrahedra(sdf: np.ndarray, level: float = 0.0):
+    """Extract the ``level`` iso-surface of a dense [N,N,N] SDF grid.
+
+    Returns (verts [V,3] in voxel coordinates, faces [F,3] int64).  Triangles
+    are oriented so normals point toward positive SDF."""
+    n = sdf.shape[0]
+    assert sdf.shape == (n, n, n)
+    f = sdf - level
+
+    # corner values per cube: [n-1, n-1, n-1, 8]
+    cidx = np.stack(
+        np.meshgrid(
+            np.arange(n - 1), np.arange(n - 1), np.arange(n - 1), indexing="ij"
+        ),
+        -1,
+    )  # [m,m,m,3]
+    m = n - 1
+    corner_vals = np.empty((m, m, m, 8), f.dtype)
+    for c in range(8):
+        ox, oy, oz = _CORNER_OFF[c]
+        corner_vals[..., c] = f[ox : ox + m, oy : oy + m, oz : oz + m]
+
+    cube_origin = cidx.reshape(-1, 3)           # [M,3]
+    vals = corner_vals.reshape(-1, 8)           # [M,8]
+
+    verts_list = []
+    faces_list = []
+    vcount = 0
+    for tet in _TETS:
+        tv = vals[:, tet]                        # [M,4]
+        inside = tv < 0
+        code = (
+            inside[:, 0].astype(np.int64)
+            + 2 * inside[:, 1]
+            + 4 * inside[:, 2]
+            + 8 * inside[:, 3]
+        )
+        active = (code > 0) & (code < 15)
+        if not active.any():
+            continue
+        tv_a = tv[active]
+        code_a = code[active]
+        origin_a = cube_origin[active]
+        corner_pos = origin_a[:, None, :] + _CORNER_OFF[tet][None, :, :]
+
+        def interp(i, j):
+            a = tv_a[:, i]
+            b = tv_a[:, j]
+            t = a / np.where(np.abs(a - b) < 1e-12, 1e-12, a - b)
+            t = np.clip(t, 0.0, 1.0)
+            return corner_pos[:, i] + t[:, None] * (
+                corner_pos[:, j] - corner_pos[:, i]
+            )
+
+        # enumerate the 14 non-trivial sign cases of a tetrahedron
+        for case in range(1, 15):
+            sel = code_a == case
+            if not sel.any():
+                continue
+            ins = [i for i in range(4) if (case >> i) & 1]
+            outs = [i for i in range(4) if not (case >> i) & 1]
+            idx = np.where(sel)[0]
+            if len(ins) == 1:
+                i = ins[0]
+                tri = np.stack(
+                    [interp(i, outs[0])[sel], interp(i, outs[1])[sel],
+                     interp(i, outs[2])[sel]],
+                    axis=1,
+                )  # [k,3,3]
+                tris = [tri]
+            elif len(ins) == 3:
+                o = outs[0]
+                tri = np.stack(
+                    [interp(ins[0], o)[sel], interp(ins[1], o)[sel],
+                     interp(ins[2], o)[sel]],
+                    axis=1,
+                )
+                tris = [tri]
+            else:  # 2 in / 2 out -> quad -> 2 triangles
+                i0, i1 = ins
+                o0, o1 = outs
+                p00 = interp(i0, o0)[sel]
+                p01 = interp(i0, o1)[sel]
+                p10 = interp(i1, o0)[sel]
+                p11 = interp(i1, o1)[sel]
+                tris = [
+                    np.stack([p00, p01, p11], axis=1),
+                    np.stack([p00, p11, p10], axis=1),
+                ]
+            for tri in tris:
+                k = tri.shape[0]
+                verts_list.append(tri.reshape(-1, 3))
+                faces_list.append(
+                    np.arange(3 * k, dtype=np.int64).reshape(k, 3) + vcount
+                )
+                vcount += 3 * k
+            del idx
+
+    if not verts_list:
+        return np.zeros((0, 3)), np.zeros((0, 3), np.int64)
+    verts = np.concatenate(verts_list, 0)
+    faces = np.concatenate(faces_list, 0)
+
+    # weld duplicate vertices (quantised) to get a manifold-ish mesh
+    key = np.round(verts * 1024.0).astype(np.int64)
+    _, uniq_idx, inv = np.unique(
+        key.view([("x", np.int64), ("y", np.int64), ("z", np.int64)]),
+        return_index=True,
+        return_inverse=True,
+    )
+    verts_w = verts[uniq_idx]
+    faces_w = inv.reshape(-1)[faces]
+    # drop degenerate faces
+    ok = (
+        (faces_w[:, 0] != faces_w[:, 1])
+        & (faces_w[:, 1] != faces_w[:, 2])
+        & (faces_w[:, 0] != faces_w[:, 2])
+    )
+    faces_w = faces_w[ok]
+
+    # orient: flip triangles whose normal points against the SDF gradient
+    tri = verts_w[faces_w]
+    nrm = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    cent = tri.mean(1)
+    grad = _grid_gradient(f, cent)
+    flip = np.sum(nrm * grad, -1) < 0
+    faces_w[flip] = faces_w[flip][:, [0, 2, 1]]
+    return verts_w, faces_w
+
+
+def _grid_gradient(f: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    n = f.shape[0]
+    p = np.clip(pts, 0, n - 2)
+    i = np.floor(p).astype(np.int64)
+    g = np.stack(
+        [
+            f[np.minimum(i[:, 0] + 1, n - 1), i[:, 1], i[:, 2]]
+            - f[i[:, 0], i[:, 1], i[:, 2]],
+            f[i[:, 0], np.minimum(i[:, 1] + 1, n - 1), i[:, 2]]
+            - f[i[:, 0], i[:, 1], i[:, 2]],
+            f[i[:, 0], i[:, 1], np.minimum(i[:, 2] + 1, n - 1)]
+            - f[i[:, 0], i[:, 1], i[:, 2]],
+        ],
+        -1,
+    )
+    return g
+
+
+def save_obj(path: str, verts: np.ndarray, faces: np.ndarray):
+    with open(path, "w") as fh:
+        for v in verts:
+            fh.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for f in faces:
+            fh.write(f"f {f[0] + 1} {f[1] + 1} {f[2] + 1}\n")
+
+
+def load_obj(path: str):
+    verts, faces = [], []
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("v "):
+                verts.append([float(x) for x in line.split()[1:4]])
+            elif line.startswith("f "):
+                idx = [int(tok.split("/")[0]) - 1 for tok in line.split()[1:4]]
+                faces.append(idx)
+    return np.asarray(verts, np.float64), np.asarray(faces, np.int64)
+
+
+def save_ply_points(path: str, points: np.ndarray, normals=None):
+    n = points.shape[0]
+    with open(path, "w") as fh:
+        fh.write("ply\nformat ascii 1.0\n")
+        fh.write(f"element vertex {n}\n")
+        fh.write("property float x\nproperty float y\nproperty float z\n")
+        if normals is not None:
+            fh.write("property float nx\nproperty float ny\nproperty float nz\n")
+        fh.write("end_header\n")
+        for i in range(n):
+            row = list(points[i])
+            if normals is not None:
+                row += list(normals[i])
+            fh.write(" ".join(f"{x:.6f}" for x in row) + "\n")
+
+
+def sample_surface(verts: np.ndarray, faces: np.ndarray, n: int, seed=0):
+    """Area-weighted uniform surface samples (replaces
+    trimesh.sample.sample_surface for the eval protocol,
+    `metrics/generate_pointclouds.py:23-37`)."""
+    rng = np.random.RandomState(seed)
+    tri = verts[faces]
+    area = 0.5 * np.linalg.norm(
+        np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=-1
+    )
+    total = area.sum()
+    if total <= 0 or len(faces) == 0:
+        return np.zeros((n, 3))
+    probs = area / total
+    fi = rng.choice(len(faces), size=n, p=probs)
+    r1 = np.sqrt(rng.uniform(size=n))
+    r2 = rng.uniform(size=n)
+    a, b, c = tri[fi, 0], tri[fi, 1], tri[fi, 2]
+    return (1 - r1)[:, None] * a + (r1 * (1 - r2))[:, None] * b + (
+        r1 * r2
+    )[:, None] * c

@@ -1,0 +1,57 @@
+"""Marching-tetrahedra and mesh IO tests."""
+
+import os
+
+import numpy as np
+
+from octfusion_tpu.utils import mesh
+
+
+def sphere_sdf(n, r=0.6):
+    coord = (np.arange(n) + 0.5) / n * 2 - 1
+    g = np.stack(np.meshgrid(coord, coord, coord, indexing="ij"), -1)
+    return np.linalg.norm(g, axis=-1) - r
+
+
+def test_marching_tetrahedra_sphere():
+    n = 33
+    sdf = sphere_sdf(n)
+    verts, faces = mesh.marching_tetrahedra(sdf, 0.0)
+    assert len(verts) > 100 and len(faces) > 100
+    # vertices lie near the sphere of radius r (in voxel coords)
+    centre = (n - 1) / 2
+    # grid voxel i has coordinate (i + .5)/n*2-1; invert for radius check
+    pts = (verts + 0.5) / n * 2 - 1
+    rad = np.linalg.norm(pts, axis=-1)
+    assert np.abs(rad - 0.6).max() < 0.08
+    assert np.abs(rad - 0.6).mean() < 0.02
+    # faces index valid vertices
+    assert faces.min() >= 0 and faces.max() < len(verts)
+    # normals point outward (positive SDF side)
+    tri = pts[faces]
+    nrm = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    cent = tri.mean(1)
+    outward = np.sum(nrm * cent, -1) > 0
+    assert outward.mean() > 0.95
+    del centre
+
+
+def test_obj_roundtrip(tmp_path):
+    sdf = sphere_sdf(17)
+    verts, faces = mesh.marching_tetrahedra(sdf, 0.0)
+    p = os.path.join(tmp_path, "m.obj")
+    mesh.save_obj(p, verts, faces)
+    v2, f2 = mesh.load_obj(p)
+    assert v2.shape == verts.shape and f2.shape == faces.shape
+    np.testing.assert_allclose(v2, verts, atol=1e-5)
+    np.testing.assert_array_equal(f2, faces)
+
+
+def test_sample_surface():
+    sdf = sphere_sdf(33)
+    verts, faces = mesh.marching_tetrahedra(sdf, 0.0)
+    pts = mesh.sample_surface(verts, faces, 2048, seed=1)
+    assert pts.shape == (2048, 3)
+    n = 33
+    r = np.linalg.norm((pts + 0.5) / n * 2 - 1, axis=-1)
+    assert np.abs(r - 0.6).mean() < 0.03
