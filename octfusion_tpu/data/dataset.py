@@ -1,0 +1,199 @@
+"""Datasets: ShapeNet-format file reader + procedural synthetic shapes.
+
+ShapeNet format follows the reference's per-shape directory layout
+(`/root/reference/datasets/dualoctree_snet.py:110-168`): ``pointcloud.npz``
+(points, normals) and ``sdf.npz`` (points, grad, sdf), with points scaled by
+``point_scale`` into [-1, 1] at load time (`dualoctree_snet.py:36-58`).
+
+The synthetic dataset generates unions of primitives (sphere / box / torus)
+with exact SDFs — enough signal to train and benchmark end-to-end in an
+image that ships no ShapeNet data.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+class ShapeNetDataset:
+    """Reads the reference's preprocessed per-shape npz files."""
+
+    def __init__(self, location: str, filelist: str, point_scale: float = 0.5,
+                 point_sample_num: int = 10000, points_per_shape: int = 65536,
+                 load_sdf: bool = True):
+        self.location = location
+        self.point_scale = point_scale
+        self.point_sample_num = point_sample_num
+        self.points_per_shape = points_per_shape
+        self.load_sdf = load_sdf
+        with open(filelist) as fh:
+            lines = [ln.split()[0] for ln in fh if ln.strip()]
+        self.filenames = lines
+        # class label from the synset prefix (`solver/dataset.py:50-67`)
+        from .shapenet import synset_to_label
+
+        self.labels = [synset_to_label(fn.split("/")[0]) for fn in lines]
+
+    def __len__(self):
+        return len(self.filenames)
+
+    def __getitem__(self, idx: int) -> Dict:
+        fn = os.path.join(self.location, self.filenames[idx])
+        rng = np.random.RandomState()
+        out = {"filename": self.filenames[idx], "label": self.labels[idx]}
+        raw = np.load(os.path.join(fn, "pointcloud.npz"))
+        pts = raw["points"].astype(np.float32) / self.point_scale
+        nrm = raw["normals"].astype(np.float32)
+        sel = rng.randint(0, len(pts), size=self.points_per_shape)
+        out["points"] = np.clip(pts[sel], -1, 1)
+        out["normals"] = nrm[sel]
+        if self.load_sdf:
+            sdf_raw = np.load(os.path.join(fn, "sdf.npz"))
+            spts = sdf_raw["points"].astype(np.float32) / self.point_scale
+            sel2 = rng.randint(0, len(spts), size=self.point_sample_num)
+            out["pos"] = spts[sel2]
+            out["sdf"] = sdf_raw["sdf"][sel2].astype(np.float32)
+            out["grad"] = sdf_raw["grad"][sel2].astype(np.float32)
+        return out
+
+
+def _sd_sphere(p, c, r):
+    return np.linalg.norm(p - c, axis=-1) - r
+
+
+def _sd_box(p, c, b):
+    q = np.abs(p - c) - b
+    return np.linalg.norm(np.maximum(q, 0), axis=-1) + np.minimum(
+        q.max(-1), 0.0
+    )
+
+
+def _sd_torus(p, c, R, r):
+    d = p - c
+    q = np.stack([np.sqrt(d[..., 0] ** 2 + d[..., 1] ** 2) - R, d[..., 2]], -1)
+    return np.linalg.norm(q, axis=-1) - r
+
+
+class SyntheticDataset:
+    """Procedural shapes with exact SDFs: per index, a deterministic union
+    of 1-3 primitives.  Surface points found by sphere-tracing random rays /
+    projecting near-surface samples along the SDF gradient."""
+
+    def __init__(self, size: int = 1000, point_sample_num: int = 10000,
+                 points_per_shape: int = 65536, num_classes: int = 5):
+        self.size = size
+        self.point_sample_num = point_sample_num
+        self.points_per_shape = points_per_shape
+        self.num_classes = num_classes
+
+    def __len__(self):
+        return self.size
+
+    def _make_sdf(self, rng):
+        prims = []
+        n = rng.randint(1, 4)
+        for _ in range(n):
+            kind = rng.randint(0, 3)
+            c = rng.uniform(-0.3, 0.3, size=3)
+            if kind == 0:
+                r = rng.uniform(0.15, 0.45)
+                prims.append(lambda p, c=c, r=r: _sd_sphere(p, c, r))
+            elif kind == 1:
+                b = rng.uniform(0.1, 0.4, size=3)
+                prims.append(lambda p, c=c, b=b: _sd_box(p, c, b))
+            else:
+                R = rng.uniform(0.2, 0.4)
+                r = rng.uniform(0.05, 0.15)
+                prims.append(lambda p, c=c, R=R, r=r: _sd_torus(p, c, R, r))
+
+        def sdf(p):
+            return np.minimum.reduce([f(p) for f in prims])
+
+        return sdf
+
+    @staticmethod
+    def _gradient(sdf, p, eps=1e-4):
+        g = np.stack(
+            [
+                sdf(p + np.array([eps, 0, 0])) - sdf(p - np.array([eps, 0, 0])),
+                sdf(p + np.array([0, eps, 0])) - sdf(p - np.array([0, eps, 0])),
+                sdf(p + np.array([0, 0, eps])) - sdf(p - np.array([0, 0, eps])),
+            ],
+            -1,
+        ) / (2 * eps)
+        n = np.linalg.norm(g, axis=-1, keepdims=True)
+        return g / np.maximum(n, 1e-9)
+
+    def _surface_points(self, sdf, rng, n):
+        # project random points onto the zero level set (few Newton steps)
+        p = rng.uniform(-0.85, 0.85, size=(int(n * 1.5), 3))
+        for _ in range(12):
+            d = sdf(p)[:, None]
+            g = self._gradient(sdf, p)
+            p = p - d * g
+        d = np.abs(sdf(p))
+        ok = d < 1e-3
+        p = p[ok][:n]
+        while len(p) < n:  # top up if projection lost too many
+            extra = rng.uniform(-0.85, 0.85, size=(n, 3))
+            for _ in range(12):
+                dd = sdf(extra)[:, None]
+                extra = extra - dd * self._gradient(sdf, extra)
+            extra = extra[np.abs(sdf(extra)) < 1e-3]
+            p = np.concatenate([p, extra])[: n]
+        return p
+
+    def __getitem__(self, idx: int) -> Dict:
+        rng = np.random.RandomState(idx * 9176 + 13)
+        sdf = self._make_sdf(rng)
+        surf = self._surface_points(sdf, rng, self.points_per_shape)
+        normals = self._gradient(sdf, surf)
+        # SDF supervision: near-surface + uniform volume samples
+        n_half = self.point_sample_num // 2
+        near = surf[rng.randint(0, len(surf), n_half)] + rng.normal(
+            0, 0.03, size=(n_half, 3)
+        )
+        vol = rng.uniform(-0.95, 0.95, size=(self.point_sample_num - n_half, 3))
+        pos = np.concatenate([near, vol]).astype(np.float32)
+        pos = np.clip(pos, -1, 1)
+        return {
+            "filename": f"synthetic/{idx}",
+            "label": idx % self.num_classes,
+            "points": np.clip(surf, -1, 1).astype(np.float32),
+            "normals": normals.astype(np.float32),
+            "pos": pos,
+            "sdf": sdf(pos).astype(np.float32),
+            "grad": self._gradient(sdf, pos).astype(np.float32),
+        }
+
+
+def collate(samples: List[Dict]) -> Dict:
+    """Stack per-sample dicts into fixed-shape batch arrays."""
+    out = {
+        "points": np.stack([s["points"] for s in samples]),
+        "normals": np.stack([s["normals"] for s in samples]),
+        "label": np.asarray([s["label"] for s in samples], np.int32),
+        "filename": [s["filename"] for s in samples],
+    }
+    if "pos" in samples[0]:
+        out["pos"] = np.stack([s["pos"] for s in samples])
+        out["sdf"] = np.stack([s["sdf"] for s in samples])
+        out["grad"] = np.stack([s["grad"] for s in samples])
+    return out
+
+
+def get_dataset(cfg) -> object:
+    if cfg.name == "synthetic":
+        return SyntheticDataset(
+            point_sample_num=cfg.point_sample_num,
+            points_per_shape=cfg.points_per_shape,
+        )
+    if cfg.name == "shapenet":
+        return ShapeNetDataset(
+            cfg.location, cfg.filelist, cfg.point_scale,
+            cfg.point_sample_num, cfg.points_per_shape, cfg.load_sdf,
+        )
+    raise ValueError(cfg.name)

@@ -1,0 +1,265 @@
+"""Two-stage ("union") diffusion solver
+(`/root/reference/models/octfusion_model_union.py`): lr stage denoises the
+dense split grid, hr stage denoises frozen-VAE latents on the dual graph
+with the frozen lr U-Net as its middle; cascade sampling produces an SDF
+grid and a mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..diffusion import ema as ema_lib
+from ..diffusion import sampler, schedule
+from ..nn.unet_union import UNetUnion, UnionConfig
+from ..nn.vae import GraphVAE
+from ..octree import split_codec
+from ..octree.dual_graph import build_dual_graph
+from ..utils import sdf as sdf_utils
+from .common import TrainState, batch_to_graph, batch_to_octree
+
+
+class UnionSolver:
+    def __init__(self, cfg: Config, stage_flag: str = "hr"):
+        self.cfg = cfg
+        self.stage_flag = stage_flag
+        d = cfg.diffusion
+        self.union_cfg = UnionConfig(
+            unet_type=tuple(d.unet_type), df_type=tuple(d.df_type),
+            input_depth=tuple(d.input_depth), full_depth=cfg.model.full_depth,
+            input_channels=tuple(d.input_channels),
+            out_channels=tuple(d.out_channels),
+            model_channels=tuple(d.model_channels),
+            num_res_blocks=tuple(tuple(x) for x in d.num_res_blocks),
+            channel_mult=tuple(tuple(x) for x in d.channel_mult),
+            attention_resolutions=tuple(d.attention_resolutions),
+            num_heads=d.num_heads, num_classes=d.num_classes,
+        )
+        self.df = UNetUnion(self.union_cfg, stage_flag)
+        m = cfg.model
+        self.vae = GraphVAE(
+            depth=m.depth, channel_in=m.channel_in, full_depth=m.full_depth,
+            depth_stop=m.depth_stop, depth_out=m.depth_out,
+            embed_dim=m.embed_dim, resblk_num=m.resblk_num,
+            channels=tuple(m.channels), use_checkpoint=m.use_checkpoint,
+        )
+        if "hr" in d.unet_type:
+            i = d.unet_type.index("hr")
+            assert d.input_channels[i] == m.embed_dim, (
+                "hr stage denoises VAE codes: diffusion.input_channels[hr] "
+                f"({d.input_channels[i]}) must equal model.embed_dim "
+                f"({m.embed_dim})"
+            )
+        self.spec1 = cfg.capacity.octree_spec(m.depth, m.full_depth, 1)
+        self.edge_factor = cfg.capacity.edge_factor
+        self.log_snr = schedule.get_log_snr(d.noise_schedule)
+        self.small_depth = m.depth_stop
+        self.df_type = dict(zip(d.unet_type, d.df_type))
+
+    # ------------------------------------------------------------------
+    def init_params(self, key, batch):
+        """Initialise diffusion params covering every built stage."""
+        b = batch["points"].shape[0]
+        spec = self.spec1.with_batch_size(b)
+        fd = self.cfg.model.full_depth
+        s = 2**fd
+        lr_x = jnp.zeros((b, s, s, s, 8))
+        t = jnp.zeros((b,))
+        label = (
+            jnp.zeros((b,), jnp.int32)
+            if self.union_cfg.num_classes is not None else None
+        )
+        hr_x = None
+        g = None
+        if self.stage_flag != "lr":
+            _, g = batch_to_graph(
+                jnp.asarray(batch["points"]), jnp.asarray(batch["normals"]),
+                self.spec1, self.edge_factor, up_to=self.small_depth,
+            )
+            lvl = g.level(self.small_depth)
+            hr_x = jnp.zeros((lvl.g_cap, self.cfg.model.embed_dim))
+        del spec
+        return self.df.init(
+            key, lr_x, hr_x, g, t, label=label, method=UNetUnion.warmup
+        )
+
+    # ------------------------------------------------------------------
+    def make_optimizer(self):
+        # AdamW + StepLR(1000, 0.9) (`octfusion_model_union.py:142-143`)
+        def sched(step):
+            return self.cfg.train.lr * 0.9 ** (step // 1000)
+
+        tx = optax.adamw(sched, weight_decay=self.cfg.train.weight_decay)
+        if self.stage_flag == "hr":
+            # freeze the lr U-Net (`octfusion_model_union.py:130-137`)
+            def label_fn(params):
+                return jax.tree_util.tree_map_with_path(
+                    lambda path, _: "frozen"
+                    if any(getattr(p, "key", None) == "unet_lr" for p in path)
+                    else "train",
+                    params,
+                )
+
+            tx = optax.multi_transform(
+                {"train": tx, "frozen": optax.set_to_zero()}, label_fn
+            )
+        return tx
+
+    def init_state(self, key, batch) -> TrainState:
+        params = self.init_params(key, batch)
+        tx = self.make_optimizer()
+        return TrainState(
+            step=jnp.asarray(0, jnp.int32), params=params,
+            opt_state=tx.init(params), ema_params=params,
+        )
+
+    # ------------------------------------------------------------------
+    def loss_fn(self, params, vae_params, batch, key):
+        label = (
+            batch.get("label")
+            if self.union_cfg.num_classes is not None else None
+        )
+        b = batch["points"].shape[0]
+        if self.stage_flag == "lr":
+            octree = batch_to_octree(
+                batch["points"], batch["normals"], self.spec1
+            )
+            split = split_codec.octree2split_small(octree)
+            loss = sampler.diffusion_loss(
+                lambda noised, snr: self.df.apply(
+                    params, "lr", noised, snr, label=label
+                ),
+                key, split, None, b, self.log_snr, self.df_type["lr"],
+            )
+            return loss, {"loss": loss}
+        # hr stage: frozen VAE encode (`octfusion_model_union.py:285-291`)
+        octree, g = batch_to_graph(
+            batch["points"], batch["normals"], self.spec1, self.edge_factor
+        )
+        ekey, dkey = jax.random.split(key)
+        code = jax.lax.stop_gradient(
+            self.vae.apply(
+                vae_params, g, ekey, method=GraphVAE.extract_code
+            )
+        )
+        lvl = g.level(self.small_depth)
+        loss = sampler.diffusion_loss(
+            lambda noised, snr: self.df.apply(
+                params, "hr", noised, snr, g=g, label=label
+            ),
+            dkey, code, lvl.node_batch, b, self.log_snr,
+            self.df_type["hr"], mask=lvl.node_mask,
+        )
+        del octree
+        return loss, {"loss": loss}
+
+    def make_train_step(self):
+        tx = self.make_optimizer()
+        ema_rate = self.cfg.diffusion.ema_rate
+
+        @jax.jit
+        def step(state: TrainState, vae_params, batch, key):
+            (loss, ld), grads = jax.value_and_grad(
+                self.loss_fn, has_aux=True
+            )(state.params, vae_params, batch, key)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            ema_params = ema_lib.ema_update(state.ema_params, params, ema_rate)
+            return (
+                state.replace(
+                    step=state.step + 1, params=params,
+                    opt_state=opt_state, ema_params=ema_params,
+                ),
+                ld,
+            )
+
+        return step
+
+    # ------------------------------------------------------------------
+    # sampling cascade (`octfusion_model_union.py:354-401`)
+    # ------------------------------------------------------------------
+    def sample_lr(self, params, key, batch_size: int, label=None,
+                  steps: Optional[int] = None):
+        fd = self.cfg.model.full_depth
+        s = 2**fd
+        dcfg = self.cfg.diffusion
+
+        def denoise(x, tb, x_start):
+            return self.df.apply(
+                params, "lr", x, tb, x_self_cond=x_start, label=label
+            )
+
+        return sampler.sample_loop(
+            denoise, key, (batch_size, s, s, s, 8), batch_size,
+            steps or dcfg.ddim_steps, self.log_snr,
+            df_type=self.df_type["lr"],
+            truncated_index=dcfg.truncated_time, snap_sign=True,
+        )
+
+    def sample_hr(self, params, key, g, batch_size: int, label=None,
+                  steps: Optional[int] = None):
+        lvl = g.level(self.small_depth)
+        dcfg = self.cfg.diffusion
+
+        def denoise(x, tb, x_start):
+            return self.df.apply(
+                params, "hr", x, tb, g=g, label=label
+            )
+
+        code = sampler.sample_loop(
+            denoise, key, (lvl.g_cap, self.cfg.model.embed_dim), batch_size,
+            steps or dcfg.ddim_steps, self.log_snr,
+            df_type=self.df_type["hr"],
+        )
+        return jnp.where(lvl.node_mask[:, None], code, 0.0)
+
+    def sample(self, params, vae_params, key, batch_size: int = 1,
+               label=None, steps: Optional[int] = None,
+               resolution: Optional[int] = None, save_paths=None,
+               split_small=None):
+        m = self.cfg.model
+        k1, k2 = jax.random.split(key)
+        if split_small is None:
+            split_small = jax.jit(
+                self.sample_lr, static_argnames=("batch_size", "steps")
+            )(params, k1, batch_size=batch_size, label=label, steps=steps)
+        spec = self.spec1.with_batch_size(batch_size)
+        octree_small = split_codec.split2octree_small(split_small, spec)
+        if self.stage_flag == "lr":
+            return {"split_small": split_small, "octree_small": octree_small}
+        g_small = build_dual_graph(
+            octree_small, self.edge_factor, up_to=self.small_depth
+        )
+        code = jax.jit(
+            self.sample_hr, static_argnames=("batch_size", "steps")
+        )(params, k2, g_small, batch_size=batch_size, label=label, steps=steps)
+        out = self.vae.apply(
+            vae_params, code, g_small, method=GraphVAE.decode_grow
+        )
+        res = resolution or self.cfg.solver.resolution
+        sdfs = sdf_utils.calc_sdf(
+            out["reg_voxs"][m.depth_out], out["octree_out"],
+            m.full_depth, m.depth_out, batch_size=batch_size, size=res,
+            bbmin=-self.cfg.solver.sdf_scale, bbmax=self.cfg.solver.sdf_scale,
+        )
+        if save_paths is not None:
+            sdf_utils.export_meshes(
+                sdfs, save_paths,
+                bbmin=-self.cfg.solver.sdf_scale,
+                bbmax=self.cfg.solver.sdf_scale,
+                mesh_scale=self.cfg.data_test.point_scale,
+            )
+        return {
+            "split_small": split_small,
+            "octree_small": octree_small,
+            "code": code,
+            "sdfs": sdfs,
+            "decode_out": out,
+        }

@@ -1,0 +1,126 @@
+"""VAE training/eval solver
+(`/root/reference/models/octfusion_model_vae.py`): AdamW + poly LR decay,
+geometry loss, reconstruction inference -> SDF grid -> mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..nn import losses
+from ..nn.vae import GraphVAE, copy_topology_octree
+from ..octree.dual_graph import build_dual_graph
+from ..utils import sdf as sdf_utils
+from .common import TrainState, batch_to_graph, flatten_pos
+
+
+class VAESolver:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        m = cfg.model
+        self.vae = GraphVAE(
+            depth=m.depth, channel_in=m.channel_in, full_depth=m.full_depth,
+            depth_stop=m.depth_stop, depth_out=m.depth_out,
+            embed_dim=m.embed_dim, resblk_num=m.resblk_num,
+            channels=tuple(m.channels), use_checkpoint=m.use_checkpoint,
+        )
+        self.spec1 = cfg.capacity.octree_spec(m.depth, m.full_depth, 1)
+        self.edge_factor = cfg.capacity.edge_factor
+
+    # ------------------------------------------------------------------
+    def make_optimizer(self, total_steps: int):
+        # AdamW + poly(0.9) decay (`octfusion_model_vae.py:90-95`)
+        def sched(step):
+            frac = jnp.clip(step / max(total_steps, 1), 0.0, 1.0)
+            return self.cfg.train.lr * (1.0 - frac) ** 0.9
+
+        return optax.adamw(sched, weight_decay=self.cfg.train.weight_decay)
+
+    def init_state(self, key, batch, total_steps: int = 100_000) -> TrainState:
+        _, g = batch_to_graph(
+            jnp.asarray(batch["points"]), jnp.asarray(batch["normals"]),
+            self.spec1, self.edge_factor,
+        )
+        params = self.vae.init(key, g, g, key)
+        opt = self.make_optimizer(total_steps)
+        return TrainState(
+            step=jnp.asarray(0, jnp.int32), params=params,
+            opt_state=opt.init(params),
+        )
+
+    # ------------------------------------------------------------------
+    def loss_fn(self, params, batch, key):
+        m = self.cfg.model
+        octree, g = batch_to_graph(
+            batch["points"], batch["normals"], self.spec1, self.edge_factor
+        )
+        out = self.vae.apply(params, g, g, key)
+        pos, pb = flatten_pos(batch["pos"])
+        sdf_gt = batch["sdf"].reshape(-1)
+        grad_gt = batch["grad"].reshape(-1, 3)
+        ld = losses.geometry_loss(
+            out, pos, pb, sdf_gt, grad_gt,
+            m.full_depth, m.depth_stop, m.depth_out,
+            kl_weight=self.cfg.loss.kl_weight,
+        )
+        del octree
+        return ld["loss"], ld
+
+    def make_train_step(self, total_steps: int = 100_000):
+        opt = self.make_optimizer(total_steps)
+
+        @jax.jit
+        def step(state: TrainState, batch, key):
+            (loss, ld), grads = jax.value_and_grad(
+                self.loss_fn, has_aux=True
+            )(state.params, batch, key)
+            updates, opt_state = opt.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            return (
+                state.replace(
+                    step=state.step + 1, params=params, opt_state=opt_state
+                ),
+                ld,
+            )
+
+        return step
+
+    # ------------------------------------------------------------------
+    def reconstruct(self, params, batch, key, resolution: Optional[int] = None,
+                    save_paths=None):
+        """Encode + growing decode + SDF grid (+ optional mesh export)
+        (`octfusion_model_vae.py:189-205`)."""
+        m = self.cfg.model
+        octree, g = batch_to_graph(
+            jnp.asarray(batch["points"]), jnp.asarray(batch["normals"]),
+            self.spec1, self.edge_factor,
+        )
+        mean, _ = self.vae.apply(params, g, method=GraphVAE.encode)
+        o_small = copy_topology_octree(octree, m.depth_stop)
+        g_small = build_dual_graph(
+            o_small, self.edge_factor, up_to=m.depth_stop
+        )
+        out = self.vae.apply(params, mean, g_small, method=GraphVAE.decode_grow)
+        res = resolution or self.cfg.solver.resolution
+        sdfs = sdf_utils.calc_sdf(
+            out["reg_voxs"][m.depth_out], out["octree_out"],
+            m.full_depth, m.depth_out,
+            batch_size=octree.batch_size, size=res,
+            bbmin=-self.cfg.solver.sdf_scale, bbmax=self.cfg.solver.sdf_scale,
+        )
+        if save_paths is not None:
+            sdf_utils.export_meshes(
+                sdfs, save_paths,
+                bbmin=-self.cfg.solver.sdf_scale,
+                bbmax=self.cfg.solver.sdf_scale,
+                mesh_scale=self.cfg.data_test.point_scale,
+            )
+        return sdfs, out
