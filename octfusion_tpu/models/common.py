@@ -46,6 +46,14 @@ def batch_to_graph(
     return octree, graph
 
 
+# Jitted variants — on the tunnelled axon TPU every eager op is a network
+# round-trip, so even "setup" paths must compile to single XLA programs.
+batch_to_octree_jit = jax.jit(batch_to_octree, static_argnames=("spec_single",))
+batch_to_graph_jit = jax.jit(
+    batch_to_graph, static_argnames=("spec_single", "edge_factor", "up_to")
+)
+
+
 def flatten_pos(pos: jnp.ndarray):
     """[B, M, 3] query points -> ([B*M, 3], batch ids [B*M])."""
     b, m, _ = pos.shape

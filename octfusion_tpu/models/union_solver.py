@@ -23,7 +23,8 @@ from ..nn.vae import GraphVAE
 from ..octree import split_codec
 from ..octree.dual_graph import build_dual_graph
 from ..utils import sdf as sdf_utils
-from .common import TrainState, batch_to_graph, batch_to_octree
+from .common import (TrainState, batch_to_graph, batch_to_graph_jit,
+                     batch_to_octree)
 
 
 class UnionSolver:
@@ -79,16 +80,16 @@ class UnionSolver:
         hr_x = None
         g = None
         if self.stage_flag != "lr":
-            _, g = batch_to_graph(
+            _, g = batch_to_graph_jit(
                 jnp.asarray(batch["points"]), jnp.asarray(batch["normals"]),
                 self.spec1, self.edge_factor, up_to=self.small_depth,
             )
             lvl = g.level(self.small_depth)
             hr_x = jnp.zeros((lvl.g_cap, self.cfg.model.embed_dim))
         del spec
-        return self.df.init(
-            key, lr_x, hr_x, g, t, label=label, method=UNetUnion.warmup
-        )
+        return jax.jit(
+            partial(self.df.init, method=UNetUnion.warmup)
+        )(key, lr_x, hr_x, g, t, label=label)
 
     # ------------------------------------------------------------------
     def make_optimizer(self):
@@ -220,29 +221,50 @@ class UnionSolver:
         )
         return jnp.where(lvl.node_mask[:, None], code, 0.0)
 
+    def _jit(self, name, fn, **kw):
+        if not hasattr(self, "_jit_cache"):
+            self._jit_cache = {}
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn, **kw)
+        return self._jit_cache[name]
+
     def sample(self, params, vae_params, key, batch_size: int = 1,
                label=None, steps: Optional[int] = None,
                resolution: Optional[int] = None, save_paths=None,
                split_small=None):
+        """Full generation cascade, each stage jitted once
+        (`octfusion_model_union.py:354-401`)."""
         m = self.cfg.model
         k1, k2 = jax.random.split(key)
         if split_small is None:
-            split_small = jax.jit(
-                self.sample_lr, static_argnames=("batch_size", "steps")
+            split_small = self._jit(
+                "sample_lr", self.sample_lr,
+                static_argnames=("batch_size", "steps"),
             )(params, k1, batch_size=batch_size, label=label, steps=steps)
         spec = self.spec1.with_batch_size(batch_size)
-        octree_small = split_codec.split2octree_small(split_small, spec)
+
+        def grow(split):
+            octree_small = split_codec.split2octree_small(split, spec)
+            g_small = build_dual_graph(
+                octree_small, self.edge_factor, up_to=self.small_depth
+            )
+            return octree_small, g_small
+
+        octree_small, g_small = self._jit(f"grow_{batch_size}", grow)(
+            split_small
+        )
         if self.stage_flag == "lr":
             return {"split_small": split_small, "octree_small": octree_small}
-        g_small = build_dual_graph(
-            octree_small, self.edge_factor, up_to=self.small_depth
-        )
-        code = jax.jit(
-            self.sample_hr, static_argnames=("batch_size", "steps")
+        code = self._jit(
+            "sample_hr", self.sample_hr,
+            static_argnames=("batch_size", "steps"),
         )(params, k2, g_small, batch_size=batch_size, label=label, steps=steps)
-        out = self.vae.apply(
-            vae_params, code, g_small, method=GraphVAE.decode_grow
-        )
+        out = self._jit(
+            "decode",
+            lambda vp, c, g: self.vae.apply(
+                vp, c, g, method=GraphVAE.decode_grow
+            ),
+        )(vae_params, code, g_small)
         res = resolution or self.cfg.solver.resolution
         sdfs = sdf_utils.calc_sdf(
             out["reg_voxs"][m.depth_out], out["octree_out"],

@@ -17,7 +17,7 @@ from ..nn import losses
 from ..nn.vae import GraphVAE, copy_topology_octree
 from ..octree.dual_graph import build_dual_graph
 from ..utils import sdf as sdf_utils
-from .common import TrainState, batch_to_graph, flatten_pos
+from .common import TrainState, batch_to_graph, batch_to_graph_jit, flatten_pos
 
 
 class VAESolver:
@@ -43,11 +43,11 @@ class VAESolver:
         return optax.adamw(sched, weight_decay=self.cfg.train.weight_decay)
 
     def init_state(self, key, batch, total_steps: int = 100_000) -> TrainState:
-        _, g = batch_to_graph(
+        _, g = batch_to_graph_jit(
             jnp.asarray(batch["points"]), jnp.asarray(batch["normals"]),
             self.spec1, self.edge_factor,
         )
-        params = self.vae.init(key, g, g, key)
+        params = jax.jit(self.vae.init)(key, g, g, key)
         opt = self.make_optimizer(total_steps)
         return TrainState(
             step=jnp.asarray(0, jnp.int32), params=params,
@@ -99,16 +99,24 @@ class VAESolver:
         """Encode + growing decode + SDF grid (+ optional mesh export)
         (`octfusion_model_vae.py:189-205`)."""
         m = self.cfg.model
-        octree, g = batch_to_graph(
+        octree, g = batch_to_graph_jit(
             jnp.asarray(batch["points"]), jnp.asarray(batch["normals"]),
             self.spec1, self.edge_factor,
         )
-        mean, _ = self.vae.apply(params, g, method=GraphVAE.encode)
-        o_small = copy_topology_octree(octree, m.depth_stop)
-        g_small = build_dual_graph(
-            o_small, self.edge_factor, up_to=m.depth_stop
-        )
-        out = self.vae.apply(params, mean, g_small, method=GraphVAE.decode_grow)
+        mean, _ = jax.jit(
+            lambda p, g: self.vae.apply(p, g, method=GraphVAE.encode)
+        )(params, g)
+
+        def small_graph(o):
+            o_small = copy_topology_octree(o, m.depth_stop)
+            return build_dual_graph(
+                o_small, self.edge_factor, up_to=m.depth_stop
+            )
+
+        g_small = jax.jit(small_graph)(octree)
+        out = jax.jit(
+            lambda p, c, g: self.vae.apply(p, c, g, method=GraphVAE.decode_grow)
+        )(params, mean, g_small)
         res = resolution or self.cfg.solver.resolution
         sdfs = sdf_utils.calc_sdf(
             out["reg_voxs"][m.depth_out], out["octree_out"],

@@ -78,8 +78,12 @@ class OctreeSpec:
             if d <= full_depth:
                 caps.append(batch_size * 8**d)
             else:
-                c = int(finest_cap_per_sample / decay ** (depth - d)) * batch_size
-                c = min(batch_size * 8**d, max(c, batch_size * 64))
+                c = int(finest_cap_per_sample / decay ** (depth - d))
+                # never go below the full-depth level size: levels just above
+                # full_depth hold up to 8 children per (dense) parent and the
+                # geometric decay badly underestimates them
+                floor = min(8**d, 8**full_depth)
+                c = min(8**d, max(c, floor, 64)) * batch_size
                 caps.append(-(-c // 8) * 8)  # round up to a multiple of 8
         if caps_override is not None:
             for d, c in enumerate(caps_override):

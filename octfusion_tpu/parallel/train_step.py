@@ -1,0 +1,141 @@
+"""Multi-device training steps via ``shard_map`` over a ('data', 'model')
+mesh.
+
+Design (TPU-native, per the scaling-book recipe): the batch shards over the
+``data`` axis — each device builds the octree/dual graph of its *local*
+samples entirely on-device, so no communication happens during graph
+construction; gradients are ``pmean``-ed over ICI.  For the VAE the SDF
+query points additionally shard over the ``model`` axis (each device
+evaluates the MPU on a slice of the 50k supervision points — a
+sequence-parallel-style split of the heaviest memory-bound part).  The
+reference's equivalent is DDP allreduce
+(`/root/reference/models/octfusion_model_union.py:180-196`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..diffusion import ema as ema_lib
+
+
+def _fold_axis_keys(key):
+    di = jax.lax.axis_index("data")
+    mi = jax.lax.axis_index("model")
+    return jax.random.fold_in(jax.random.fold_in(key, di), mi)
+
+
+def make_vae_dp_train_step(solver, mesh: Mesh, total_steps: int = 100_000):
+    """Data-parallel (+ query-sharded) VAE train step.
+
+    batch['points','normals']: [B_global, N, 3] sharded over 'data';
+    batch['pos','sdf','grad']: [B_global, M, ...] sharded over
+    ('data', 'model') on (batch, query) axes."""
+    opt = solver.make_optimizer(total_steps)
+
+    def local_step(state, batch, key):
+        key = _fold_axis_keys(key)
+
+        def loss_fn(params):
+            return solver.loss_fn(params, batch, key)
+
+        (loss, ld), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        grads = jax.lax.pmean(jax.lax.pmean(grads, "model"), "data")
+        ld = jax.lax.pmean(jax.lax.pmean(ld, "model"), "data")
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            state.replace(
+                step=state.step + 1, params=params, opt_state=opt_state
+            ),
+            ld,
+        )
+
+    batch_specs = {
+        "points": P("data"),
+        "normals": P("data"),
+        "label": P("data"),
+        "pos": P("data", "model"),
+        "sdf": P("data", "model"),
+        "grad": P("data", "model"),
+    }
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), batch_specs, P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_union_dp_train_step(solver, mesh: Mesh):
+    """Data-parallel diffusion train step (lr or hr stage)."""
+    tx = solver.make_optimizer()
+    ema_rate = solver.cfg.diffusion.ema_rate
+
+    def local_step(state, vae_params, batch, key):
+        key = _fold_axis_keys(key)
+
+        def loss_fn(params):
+            return solver.loss_fn(params, vae_params, batch, key)
+
+        (loss, ld), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        grads = jax.lax.pmean(jax.lax.pmean(grads, "model"), "data")
+        ld = jax.lax.pmean(jax.lax.pmean(ld, "model"), "data")
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_params = ema_lib.ema_update(state.ema_params, params, ema_rate)
+        return (
+            state.replace(
+                step=state.step + 1, params=params,
+                opt_state=opt_state, ema_params=ema_params,
+            ),
+            ld,
+        )
+
+    batch_specs = {
+        "points": P("data"),
+        "normals": P("data"),
+        "label": P("data"),
+    }
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), batch_specs, P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def shard_batch(batch, mesh: Mesh, vae: bool):
+    """Device_put the host batch with the step's expected shardings."""
+    specs = {
+        "points": P("data"),
+        "normals": P("data"),
+        "label": P("data"),
+        "pos": P("data", "model"),
+        "sdf": P("data", "model"),
+        "grad": P("data", "model"),
+    }
+    out = {}
+    for k, v in batch.items():
+        if k == "filename":
+            continue
+        if not vae and k in ("pos", "sdf", "grad"):
+            continue
+        out[k] = jax.device_put(v, NamedSharding(mesh, specs[k]))
+    return out

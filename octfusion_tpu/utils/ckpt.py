@@ -1,0 +1,78 @@
+"""Checkpointing: orbax save/restore with the reference's rotation and
+auto-resume contract (SURVEY.md §5.4; `octfusion_model_union.py:501-545`).
+
+Layout: ``<ckpt_dir>/steps-<N>/`` orbax trees plus ``steps-latest`` updated
+every ``save_latest_freq``; the newest ``ckpt_num`` step dirs are kept.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _checkpointer():
+    return ocp.StandardCheckpointer()
+
+
+def save(ckpt_dir: str, tree: Any, step: int, ckpt_num: int = 5,
+         latest: bool = True):
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(os.path.abspath(ckpt_dir), f"steps-{step}")
+    ckptr = _checkpointer()
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    ckptr.save(path, tree)
+    ckptr.wait_until_finished()
+    if latest:
+        lpath = os.path.join(os.path.abspath(ckpt_dir), "steps-latest")
+        if os.path.islink(lpath) or os.path.exists(lpath):
+            if os.path.islink(lpath):
+                os.unlink(lpath)
+            else:
+                shutil.rmtree(lpath)
+        os.symlink(path, lpath)
+    rotate(ckpt_dir, ckpt_num)
+    return path
+
+
+def rotate(ckpt_dir: str, ckpt_num: int):
+    """Keep only the newest ``ckpt_num`` step checkpoints
+    (`octfusion_model_union.py:516-521`)."""
+    entries = []
+    for name in os.listdir(ckpt_dir):
+        m = re.fullmatch(r"steps-(\d+)", name)
+        if m:
+            entries.append((int(m.group(1)), name))
+    entries.sort()
+    for _, name in entries[:-ckpt_num] if ckpt_num > 0 else []:
+        shutil.rmtree(os.path.join(ckpt_dir, name))
+
+
+def restore(path: str, example_tree: Any) -> Any:
+    ckptr = _checkpointer()
+    return ckptr.restore(os.path.abspath(path), example_tree)
+
+
+def latest_path(ckpt_dir: str) -> Optional[str]:
+    """Auto-resume contract: the latest checkpoint if one exists
+    (`octfusion_model_union.py:150-160`)."""
+    p = os.path.join(ckpt_dir, "steps-latest")
+    if os.path.exists(p):
+        return p
+    entries = []
+    if os.path.isdir(ckpt_dir):
+        for name in os.listdir(ckpt_dir):
+            m = re.fullmatch(r"steps-(\d+)", name)
+            if m:
+                entries.append((int(m.group(1)), name))
+    if not entries:
+        return None
+    entries.sort()
+    return os.path.join(ckpt_dir, entries[-1][1])

@@ -1,0 +1,233 @@
+"""Training / generation entry point.
+
+TPU-native counterpart of the reference driver
+(`/root/reference/train.py` + `scripts/run_snet_*.sh`):
+
+    python train.py --model vae   --mode train    --config configs/vae_synthetic.yaml
+    python train.py --model union --stage lr  --mode train    --config ...
+    python train.py --model union --stage hr  --mode train    --config ... --vq_ckpt <vae ckpt>
+    python train.py --model union --stage hr  --mode generate --config ... --count 4
+
+Multi-device data parallelism engages automatically when
+``jax.device_count() > 1`` (mesh over ICI; the reference's torchrun/DDP is
+replaced by ``shard_map`` + psum — SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import shutil
+import time
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", choices=["vae", "union", "union_3t"],
+                   default="vae")
+    p.add_argument("--stage", choices=["lr", "hr", "feature"], default="hr")
+    p.add_argument("--mode", choices=["train", "generate"], default="train")
+    p.add_argument("--config", required=True)
+    p.add_argument("--name", default=None)
+    p.add_argument("--logs_dir", default=None)
+    p.add_argument("--ckpt", default=None, help="checkpoint to load")
+    p.add_argument("--vq_ckpt", default=None,
+                   help="frozen VAE checkpoint (orbax dir or torch .pth)")
+    p.add_argument("--pretrain_ckpt", default=None,
+                   help="bootstrap (e.g. lr stage) checkpoint")
+    p.add_argument("--category", default="airplane")
+    p.add_argument("--count", type=int, default=4,
+                   help="number of shapes to generate")
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    from octfusion_tpu.utils import jaxcache
+
+    jaxcache.enable()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from octfusion_tpu import config as config_lib
+    from octfusion_tpu.data import loader as loader_lib
+    from octfusion_tpu.data.dataset import get_dataset
+    from octfusion_tpu.data.shapenet import category_5_to_label
+    from octfusion_tpu.models.union_solver import UnionSolver
+    from octfusion_tpu.models.vae_solver import VAESolver
+    from octfusion_tpu.parallel import train_step as pts
+    from octfusion_tpu.parallel.mesh import make_mesh
+    from octfusion_tpu.utils import ckpt as ckpt_lib
+    from octfusion_tpu.utils.visualizer import Visualizer
+
+    cfg = config_lib.load_config(args.config)
+    if args.batch_size:
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, batch_size=args.batch_size)
+        )
+    if args.name:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, name=args.name)
+        )
+    if args.logs_dir:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, logs_dir=args.logs_dir)
+        )
+    run_dir = os.path.join(cfg.train.logs_dir, cfg.train.name)
+    ckpt_dir = os.path.join(run_dir, "ckpt")
+    os.makedirs(run_dir, exist_ok=True)
+    # snapshot the config into the run dir (`train.py:211-238` analogue)
+    config_lib.dump_config(cfg, os.path.join(run_dir, "config.yaml"))
+
+    key = jax.random.PRNGKey(args.seed)
+    n_dev = jax.local_device_count()
+    is_main = jax.process_index() == 0
+    vis = Visualizer(run_dir, enabled=is_main)
+
+    # ------------------------------------------------------------------
+    # data
+    # ------------------------------------------------------------------
+    dataset = get_dataset(cfg.data)
+    global_batch = cfg.data.batch_size
+    if args.mode == "train" and n_dev > 1:
+        # global batch must divide over the data axis
+        global_batch = max(n_dev, (global_batch // n_dev) * n_dev)
+    dl = loader_lib.DataLoader(
+        dataset, global_batch, cfg.data.shuffle, cfg.train.seed,
+        cfg.data.num_workers,
+        rank=jax.process_index(), world_size=jax.process_count(),
+    )
+    data_iter = iter(dl)
+    first = next(data_iter)
+    jb_one = {
+        k: jnp.asarray(v[: global_batch // n_dev if n_dev > 1 else None])
+        for k, v in first.items() if k != "filename"
+    }
+
+    def load_vae_params(path, solver):
+        if path is None:
+            return None
+        if path.endswith(".pth"):
+            from octfusion_tpu.utils import torch_convert as tc
+
+            m = cfg.model
+            return tc.load_vae_checkpoint(
+                path, depth=m.depth, depth_stop=m.depth_stop,
+                depth_out=m.depth_out, resblk_num=m.resblk_num,
+            )
+        tree = ckpt_lib.restore(path, None)
+        # a saved TrainState: {'step', 'params': <flax variables>, ...}
+        return tree["params"]
+
+    # ------------------------------------------------------------------
+    # solvers
+    # ------------------------------------------------------------------
+    total_steps = args.max_steps or (len(dl) * cfg.train.epochs)
+    if args.model == "vae":
+        solver = VAESolver(cfg)
+        state = solver.init_state(key, jb_one, total_steps=total_steps)
+        if n_dev > 1:
+            mesh = make_mesh(data=n_dev, model=1)
+            step_fn = pts.make_vae_dp_train_step(solver, mesh, total_steps)
+        else:
+            mesh = None
+            step_fn = solver.make_train_step(total_steps)
+        vae_params = None
+    else:
+        solver = UnionSolver(cfg, stage_flag=args.stage)
+        state = solver.init_state(key, jb_one)
+        vae_params = load_vae_params(args.vq_ckpt, solver)
+        if vae_params is None and args.stage != "lr":
+            print("[warn] no --vq_ckpt given; using random VAE weights")
+            vs = VAESolver(cfg)
+            vae_params = vs.init_state(key, jb_one, total_steps=10).params
+        if n_dev > 1:
+            mesh = make_mesh(data=n_dev, model=1)
+            step_fn = pts.make_union_dp_train_step(solver, mesh)
+        else:
+            mesh = None
+            step_fn = solver.make_train_step()
+
+    # auto-resume (`octfusion_model_union.py:150-160`)
+    resume = args.ckpt or ckpt_lib.latest_path(ckpt_dir)
+    if resume:
+        state = ckpt_lib.restore(resume, state)
+        print(f"[*] resumed from {resume} at step {int(state.step)}")
+
+    # ------------------------------------------------------------------
+    if args.mode == "generate":
+        os.makedirs(os.path.join(run_dir, f"results_{args.category}"),
+                    exist_ok=True)
+        label = None
+        if cfg.diffusion.num_classes is not None:
+            label = jnp.full((1,), category_5_to_label[args.category],
+                             jnp.int32)
+        for i in range(args.count):
+            k = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
+            path = os.path.join(run_dir, f"results_{args.category}", f"{i}.obj")
+            if args.model == "vae":
+                b = collated_one(dataset, i, jnp)
+                solver.reconstruct(state.params, b, k, save_paths=[path])
+            else:
+                solver.sample(
+                    state.ema_params, vae_params, k, batch_size=1,
+                    label=label, save_paths=[path],
+                )
+            print(f"[*] wrote {path}")
+        return
+
+    # ------------------------------------------------------------------
+    # training loop (`train.py:33-128` analogue)
+    # ------------------------------------------------------------------
+    start = int(state.step)
+    t0 = time.time()
+    for it in range(start, total_steps):
+        batch = next(data_iter)
+        key, k = jax.random.split(key)
+        if mesh is not None:
+            sb = pts.shard_batch(batch, mesh, vae=args.model == "vae")
+            if args.model == "vae":
+                state, ld = step_fn(state, sb, k)
+            else:
+                state, ld = step_fn(state, vae_params, sb, k)
+        else:
+            jb = {k2: jnp.asarray(v) for k2, v in batch.items()
+                  if k2 != "filename"}
+            if args.model == "vae":
+                state, ld = step_fn(state, jb, k)
+            else:
+                state, ld = step_fn(state, vae_params, jb, k)
+
+        if is_main and it % cfg.train.print_freq == 0:
+            dt = (time.time() - t0) / max(it - start + 1, 1)
+            vis.print_current_errors(it, {k2: v for k2, v in ld.items()}, dt)
+        if is_main and (it + 1) % cfg.train.save_latest_freq == 0:
+            ckpt_lib.save(ckpt_dir, state, it + 1, cfg.train.ckpt_num)
+            print(f"[*] saved checkpoint at step {it + 1}")
+    if is_main:
+        ckpt_lib.save(ckpt_dir, state, total_steps, cfg.train.ckpt_num)
+    dl.stop()
+    vis.close()
+
+
+def collated_one(dataset, i, jnp):
+    from octfusion_tpu.data.dataset import collate
+
+    b = collate([dataset[i % len(dataset)]])
+    return {k: jnp.asarray(v) for k, v in b.items() if k != "filename"}
+
+
+if __name__ == "__main__":
+    main()
