@@ -1,0 +1,119 @@
+"""Point-cloud distances on TPU: Chamfer and approximate EMD.
+
+TPU-native counterparts of the reference's CUDA kernels
+(`/root/reference/metrics/pytorch_structural_losses/src/nndistance.cu`,
+``approxmatch.cu``):
+
+* ``chamfer`` — blocked brute-force pairwise min-distance (the [N, M] cost
+  matrix is dense matmul-shaped work the MXU eats directly; blocking keeps
+  it in VMEM-sized tiles via XLA);
+* ``emd_approx`` — the same auction-style approximate matching as the CUDA
+  kernel: 9 rounds of exponentially sharpening soft assignment with
+  remaining-mass multipliers (`approxmatch.cu:3-182`), expressed as dense
+  [N, M] tensor ops.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """[N,3] x [M,3] -> [N,M] squared distances via the matmul expansion."""
+    aa = jnp.sum(a * a, -1, keepdims=True)
+    bb = jnp.sum(b * b, -1, keepdims=True)
+    ab = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    return jnp.maximum(aa - 2.0 * ab + bb.T, 0.0)
+
+
+@jax.jit
+def chamfer(a: jnp.ndarray, b: jnp.ndarray):
+    """Bidirectional squared Chamfer terms for a batch:
+    a [B,N,3], b [B,M,3] -> (dl [B,N], dr [B,M]) like the reference's
+    ``distChamfer`` (`metrics/evaluation_metrics.py:11-22`)."""
+    d = jax.vmap(_pairwise_sqdist)(a, b)
+    return jnp.min(d, axis=2), jnp.min(d, axis=1)
+
+
+@partial(jax.jit, static_argnames=("rounds",))
+def emd_approx(a: jnp.ndarray, b: jnp.ndarray, rounds: int = 9):
+    """Auction-style approximate EMD matching cost, batched.
+
+    a [B,N,3], b [B,M,3] -> [B] mean matched distance.  Mirrors the CUDA
+    ``approxmatch`` loop: for j = rounds-1..0, level = -4^j (final level
+    -1), weights = exp(level * d^2) scaled by remaining row/col mass,
+    normalised twice, accumulated into a soft match."""
+
+    def one(x, y):
+        n, m = x.shape[0], y.shape[0]
+        d2 = _pairwise_sqdist(x, y)
+        match = jnp.zeros((n, m), jnp.float32)
+        remain_r = jnp.ones((n,), jnp.float32) * (m / n)
+        remain_c = jnp.ones((m,), jnp.float32)
+
+        def body(carry, level):
+            match, remain_r, remain_c = carry
+            w = jnp.exp(level * d2)
+            w = w * remain_r[:, None]
+            # normalise columns by demand, rows by supply
+            col = jnp.sum(w, axis=0, keepdims=True)
+            w = w * (remain_c / jnp.maximum(col, 1e-9))[0][None, :]
+            row = jnp.sum(w, axis=1, keepdims=True)
+            ratio = jnp.minimum(remain_r[:, None] / jnp.maximum(row, 1e-9), 1.0)
+            w = w * ratio
+            match = match + w
+            remain_r = jnp.maximum(remain_r - jnp.sum(w, axis=1), 0.0)
+            remain_c = jnp.maximum(remain_c - jnp.sum(w, axis=0), 0.0)
+            return (match, remain_r, remain_c), None
+
+        levels = jnp.array(
+            [-(4.0**j) for j in range(rounds - 1, 0, -1)] + [-1.0],
+            jnp.float32,
+        )
+        (match, _, _), _ = jax.lax.scan(
+            body, (match, remain_r, remain_c), levels
+        )
+        cost = jnp.sum(match * jnp.sqrt(d2))
+        return cost / m
+
+    return jax.vmap(one)(a, b)
+
+
+def pairwise_cd_emd(
+    sample: jnp.ndarray,
+    ref: jnp.ndarray,
+    batch: int = 16,
+    emd: bool = True,
+):
+    """All-pairs Chamfer (+EMD) matrices between two point-cloud sets
+    (`metrics/evaluation_metrics.py:111-154`): sample [S,P,3], ref [R,P,3]
+    -> (cd [S,R], emd [S,R]).  Row-blocked over the reference set."""
+    import numpy as np
+
+    s = sample.shape[0]
+    r = ref.shape[0]
+    cd = np.zeros((s, r), np.float32)
+    em = np.zeros((s, r), np.float32)
+
+    @jax.jit
+    def row(si, refs):
+        a = jnp.broadcast_to(si[None], (refs.shape[0],) + si.shape)
+        dl, dr = chamfer(a, refs)
+        cdv = dl.mean(-1) + dr.mean(-1)
+        emv = emd_approx(a, refs) if emd else jnp.zeros((refs.shape[0],))
+        return cdv, emv
+
+    for i in range(s):
+        for j0 in range(0, r, batch):
+            j1 = min(j0 + batch, r)
+            chunk = ref[j0:j1]
+            pad = batch - (j1 - j0)
+            if pad:
+                chunk = jnp.concatenate([chunk, chunk[-1:].repeat(pad, 0)], 0)
+            cdv, emv = row(sample[i], chunk)
+            cd[i, j0:j1] = np.asarray(cdv)[: j1 - j0]
+            em[i, j0:j1] = np.asarray(emv)[: j1 - j0]
+    return cd, em
