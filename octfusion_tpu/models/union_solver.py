@@ -51,7 +51,7 @@ class UnionSolver:
             embed_dim=m.embed_dim, resblk_num=m.resblk_num,
             channels=tuple(m.channels), use_checkpoint=m.use_checkpoint,
         )
-        if "hr" in d.unet_type:
+        if "hr" in d.unet_type and "feature" not in d.unet_type:
             i = d.unet_type.index("hr")
             assert d.input_channels[i] == m.embed_dim, (
                 "hr stage denoises VAE codes: diffusion.input_channels[hr] "

@@ -146,7 +146,12 @@ def main():
             step_fn = solver.make_train_step(total_steps)
         vae_params = None
     else:
-        solver = UnionSolver(cfg, stage_flag=args.stage)
+        if args.model == "union_3t":
+            from octfusion_tpu.models.union_3t_solver import Union3TSolver
+
+            solver = Union3TSolver(cfg, stage_flag=args.stage)
+        else:
+            solver = UnionSolver(cfg, stage_flag=args.stage)
         state = solver.init_state(key, jb_one)
         vae_params = load_vae_params(args.vq_ckpt, solver)
         if vae_params is None and args.stage != "lr":
