@@ -1,0 +1,78 @@
+"""Frechet distance over image features (per-view shading FID,
+`/root/reference/metrics/calc_fid.py:29-46`).
+
+The feature extractor is pluggable: the reference uses clean-fid's
+InceptionV3.  This image has no pretrained weights (zero egress), so pass
+either a callable ``images [N,S,S] -> features [N,D]`` or set
+``OCTFUSION_INCEPTION_WEIGHTS`` to a local torchvision inception checkpoint.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2) -> float:
+    from scipy import linalg
+
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(
+        diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean)
+    )
+
+
+def fid_from_features(feat1: np.ndarray, feat2: np.ndarray) -> float:
+    mu1, s1 = feat1.mean(0), np.cov(feat1, rowvar=False)
+    mu2, s2 = feat2.mean(0), np.cov(feat2, rowvar=False)
+    return frechet_distance(mu1, s1, mu2, s2)
+
+
+def default_feature_extractor() -> Callable:
+    """torchvision InceptionV3 from a local weights file, if available."""
+    path = os.environ.get("OCTFUSION_INCEPTION_WEIGHTS")
+    if not path or not os.path.exists(path):
+        raise RuntimeError(
+            "no Inception weights available (zero-egress image); set "
+            "OCTFUSION_INCEPTION_WEIGHTS to a local torchvision "
+            "inception_v3 state dict, or pass feature_fn explicitly"
+        )
+    import torch
+    from torchvision.models import inception_v3
+
+    net = inception_v3(weights=None, aux_logits=True, init_weights=False)
+    net.load_state_dict(torch.load(path, map_location="cpu"))
+    net.fc = torch.nn.Identity()
+    net.eval()
+
+    def feat(images: np.ndarray) -> np.ndarray:
+        x = torch.tensor(images, dtype=torch.float32)[:, None].repeat(1, 3, 1, 1)
+        x = torch.nn.functional.interpolate(
+            x, size=(299, 299), mode="bilinear", align_corners=False
+        )
+        x = (x - 0.5) / 0.5
+        with torch.no_grad():
+            return net(x).numpy()
+
+    return feat
+
+
+def per_view_fid(
+    images1: np.ndarray,   # [N, V, S, S]
+    images2: np.ndarray,   # [M, V, S, S]
+    feature_fn: Optional[Callable] = None,
+) -> float:
+    """Average FID over the fixed views (`metrics/calc_fid.py:35-46`)."""
+    feature_fn = feature_fn or default_feature_extractor()
+    v = images1.shape[1]
+    fids = []
+    for vi in range(v):
+        f1 = feature_fn(images1[:, vi])
+        f2 = feature_fn(images2[:, vi])
+        fids.append(fid_from_features(f1, f2))
+    return float(np.mean(fids))

@@ -221,6 +221,19 @@ class UnionSolver:
         )
         return jnp.where(lvl.node_mask[:, None], code, 0.0)
 
+    def export_octree(self, octree, depth: int, save_paths):
+        """Dump octree occupancy at ``depth`` as cube-face OBJ meshes
+        (`octfusion_model_union.py:403-422`)."""
+        import numpy as np
+
+        from ..utils import mesh as mesh_utils
+
+        occ = octree.node_mask(depth).astype(jnp.float32)[:, None]
+        vox = np.asarray(octree.to_voxel(occ, depth))[..., 0]
+        for i, path in enumerate(save_paths):
+            v, f = mesh_utils.voxel_to_cube_mesh(vox[i])
+            mesh_utils.save_obj(path, v, f)
+
     def _jit(self, name, fn, **kw):
         if not hasattr(self, "_jit_cache"):
             self._jit_cache = {}

@@ -184,6 +184,60 @@ def _grid_gradient(f: np.ndarray, pts: np.ndarray) -> np.ndarray:
     return g
 
 
+_FACE_DIRS = np.array(
+    [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+    np.int64,
+)
+
+
+def voxel_to_cube_mesh(occ: np.ndarray, threshold: float = 0.4):
+    """Boundary-face cube mesh of a dense occupancy grid, scaled to [-1, 1]
+    (== `ldm_diffusion_util.py:345-446` voxel2mesh, used by
+    ``export_octree``).  Returns (verts, faces)."""
+    dim = occ.shape[0]
+    solid = occ > threshold
+    pad = np.zeros((dim + 2,) * 3, bool)
+    pad[1:-1, 1:-1, 1:-1] = solid
+    verts_list, faces_list = [], []
+    vcount = 0
+    # unit-square corner loops per face direction (outward CCW)
+    for d, (dx, dy, dz) in enumerate(_FACE_DIRS):
+        nb = np.roll(pad, shift=(-dx, -dy, -dz), axis=(0, 1, 2))
+        exposed = pad & ~nb
+        ii, jj, kk = np.nonzero(exposed)
+        if len(ii) == 0:
+            continue
+        base = np.stack([ii - 1, jj - 1, kk - 1], -1).astype(np.float64)
+        axis = d // 2
+        hi = d % 2 == 0
+        u, v = [a for a in range(3) if a != axis]
+        corners = np.zeros((4, 3))
+        corners[:, axis] = 1.0 if hi else 0.0
+        uv = [(0, 0), (1, 0), (1, 1), (0, 1)]
+        for c, (cu, cv) in enumerate(uv):
+            corners[c, u] = cu
+            corners[c, v] = cv
+        quad = base[:, None, :] + corners[None, :, :]  # [F,4,3]
+        n = quad.shape[0]
+        verts_list.append(quad.reshape(-1, 3))
+        idx = np.arange(n)[:, None] * 4 + vcount
+        if hi != (axis == 1):  # orientation flip keeps normals outward
+            tris = np.concatenate(
+                [idx + [[0, 1, 2]], idx + [[0, 2, 3]]], axis=0
+            )
+        else:
+            tris = np.concatenate(
+                [idx + [[0, 2, 1]], idx + [[0, 3, 2]]], axis=0
+            )
+        faces_list.append(tris)
+        vcount += 4 * n
+    if not verts_list:
+        return np.zeros((0, 3)), np.zeros((0, 3), np.int64)
+    verts = np.concatenate(verts_list) * (2.0 / dim) - 1.0
+    faces = np.concatenate(faces_list).astype(np.int64)
+    return verts, faces
+
+
 def save_obj(path: str, verts: np.ndarray, faces: np.ndarray):
     with open(path, "w") as fh:
         for v in verts:

@@ -1,0 +1,75 @@
+"""Renderer + FID + octree export tests."""
+
+import numpy as np
+
+from octfusion_tpu.metrics import fid, render
+from octfusion_tpu.utils import mesh
+
+
+def sphere_mesh(n=33, r=0.6):
+    coord = (np.arange(n) + 0.5) / n * 2 - 1
+    g = np.stack(np.meshgrid(coord, coord, coord, indexing="ij"), -1)
+    sdf = np.linalg.norm(g, axis=-1) - r
+    v, f = mesh.marching_tetrahedra(sdf, 0.0)
+    return (v + 0.5) / n * 2 - 1, f
+
+
+def test_icosahedral_views():
+    v = render.icosahedral_views()
+    assert v.shape == (20, 3)
+    np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, atol=1e-6)
+    # spread out: min pairwise angle > 30 degrees
+    cos = v @ v.T - np.eye(20) * 2
+    assert np.degrees(np.arccos(np.clip(cos.max(), -1, 1))) > 30
+
+
+def test_render_sphere_views():
+    v, f = sphere_mesh()
+    imgs = render.render_mesh_views(v, f, image_size=64, n_views=4,
+                                    n_samples=60_000)
+    assert imgs.shape == (4, 64, 64)
+    # a centred sphere fills a disc in every view: coverage and symmetry
+    for im in imgs:
+        assert 0.1 < (im > 0).mean() < 0.8
+        # silhouette roughly circular: compare occupancy of centre rows/cols
+        assert (im[32] > 0).sum() > 10
+    # head-on shading is brightest at the silhouette centre
+    im = imgs[0]
+    assert im[32, 32] > 0.8
+
+
+def test_fid_math():
+    rng = np.random.RandomState(0)
+    f1 = rng.normal(size=(200, 16))
+    f2 = rng.normal(size=(200, 16))
+    same = fid.fid_from_features(f1, f1.copy())
+    close = fid.fid_from_features(f1, f2)
+    far = fid.fid_from_features(f1, f2 + 3.0)
+    assert same < 1e-6
+    assert far > close > same
+    # per-view averaging with a toy feature extractor
+    imgs1 = rng.uniform(size=(8, 2, 16, 16)).astype(np.float32)
+    imgs2 = rng.uniform(size=(8, 2, 16, 16)).astype(np.float32)
+
+    def toy_feat(ims):
+        return ims.reshape(ims.shape[0], -1)[:, :32]
+
+    val = fid.per_view_fid(imgs1, imgs2, feature_fn=toy_feat)
+    assert np.isfinite(val)
+
+
+def test_voxel_cube_mesh():
+    occ = np.zeros((8, 8, 8), np.float32)
+    occ[3:5, 3:5, 3:5] = 1.0
+    v, f = mesh.voxel_to_cube_mesh(occ)
+    # a 2x2x2 solid block: 6 faces x 4 quads = 24 quads = 48 triangles
+    assert len(f) == 48
+    assert v.min() >= -1 and v.max() <= 1
+    # closed surface: each (sorted) edge appears exactly twice
+    edges = {}
+    for tri in f:
+        for e in [(tri[0], tri[1]), (tri[1], tri[2]), (tri[2], tri[0])]:
+            k = tuple(sorted(np.round(v[list(e)].reshape(-1), 6)))
+            edges[k] = edges.get(k, 0) + 1
+    # (vertex duplication per face means exact edge pairing is on coords)
+    assert all(c % 2 == 0 for c in edges.values())
