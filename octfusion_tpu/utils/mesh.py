@@ -274,23 +274,30 @@ def save_ply_points(path: str, points: np.ndarray, normals=None):
             fh.write(" ".join(f"{x:.6f}" for x in row) + "\n")
 
 
-def sample_surface(verts: np.ndarray, faces: np.ndarray, n: int, seed=0):
+def sample_surface(verts: np.ndarray, faces: np.ndarray, n: int, seed=0,
+                   return_normals: bool = False):
     """Area-weighted uniform surface samples (replaces
     trimesh.sample.sample_surface for the eval protocol,
     `metrics/generate_pointclouds.py:23-37`)."""
     rng = np.random.RandomState(seed)
     tri = verts[faces]
-    area = 0.5 * np.linalg.norm(
-        np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=-1
-    )
+    cross = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    area = 0.5 * np.linalg.norm(cross, axis=-1)
     total = area.sum()
     if total <= 0 or len(faces) == 0:
-        return np.zeros((n, 3))
+        pts = np.zeros((n, 3))
+        return (pts, np.zeros((n, 3))) if return_normals else pts
     probs = area / total
     fi = rng.choice(len(faces), size=n, p=probs)
     r1 = np.sqrt(rng.uniform(size=n))
     r2 = rng.uniform(size=n)
     a, b, c = tri[fi, 0], tri[fi, 1], tri[fi, 2]
-    return (1 - r1)[:, None] * a + (r1 * (1 - r2))[:, None] * b + (
+    pts = (1 - r1)[:, None] * a + (r1 * (1 - r2))[:, None] * b + (
         r1 * r2
     )[:, None] * c
+    if return_normals:
+        nrm = cross[fi]
+        nrm = nrm / np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True),
+                               1e-12)
+        return pts, nrm
+    return pts
