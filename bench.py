@@ -34,7 +34,11 @@ def main():
 
     steps = int(os.environ.get("BENCH_STEPS", "200"))
     resolution = int(os.environ.get("BENCH_RESOLUTION", "256"))
-    finest_cap = int(os.environ.get("BENCH_FINEST_CAP", "131072"))
+    # NOTE: ShapeNet depth-8 shapes peak around ~110k finest nodes; the
+    # static-shape cost of the cascade is capacity-driven, so the cap is part
+    # of the metric name.  32k keeps the (remotely compiled) cold-start under
+    # control in round 1; raise via BENCH_FINEST_CAP for full-cap numbers.
+    finest_cap = int(os.environ.get("BENCH_FINEST_CAP", "32768"))
 
     cfg = Config(
         solver=SolverConfig(resolution=resolution),
@@ -73,7 +77,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "sec_per_shape_depth8_e2e",
+                "metric": f"sec_per_shape_depth8_cap{finest_cap // 1024}k_e2e",
                 "value": round(dt, 4),
                 "unit": "s/shape",
                 "vs_baseline": round(dt / 2.0, 4),

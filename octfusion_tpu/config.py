@@ -66,6 +66,7 @@ class DataConfig:
     points_per_shape: int = 65536    # static point-cloud size per sample
     load_sdf: bool = True
     load_pointcloud: bool = True
+    load_split_small: bool = False
     shuffle: bool = True
     num_workers: int = 4
     in_memory: bool = False

@@ -23,12 +23,15 @@ class ShapeNetDataset:
 
     def __init__(self, location: str, filelist: str, point_scale: float = 0.5,
                  point_sample_num: int = 10000, points_per_shape: int = 65536,
-                 load_sdf: bool = True):
+                 load_sdf: bool = True, load_split_small: bool = False,
+                 load_pointcloud: bool = True):
         self.location = location
         self.point_scale = point_scale
         self.point_sample_num = point_sample_num
         self.points_per_shape = points_per_shape
         self.load_sdf = load_sdf
+        self.load_split_small = load_split_small
+        self.load_pointcloud = load_pointcloud
         with open(filelist) as fh:
             lines = [ln.split()[0] for ln in fh if ln.strip()]
         self.filenames = lines
@@ -44,12 +47,16 @@ class ShapeNetDataset:
         fn = os.path.join(self.location, self.filenames[idx])
         rng = np.random.RandomState()
         out = {"filename": self.filenames[idx], "label": self.labels[idx]}
-        raw = np.load(os.path.join(fn, "pointcloud.npz"))
-        pts = raw["points"].astype(np.float32) / self.point_scale
-        nrm = raw["normals"].astype(np.float32)
-        sel = rng.randint(0, len(pts), size=self.points_per_shape)
-        out["points"] = np.clip(pts[sel], -1, 1)
-        out["normals"] = nrm[sel]
+        if self.load_pointcloud:
+            raw = np.load(os.path.join(fn, "pointcloud.npz"))
+            pts = raw["points"].astype(np.float32) / self.point_scale
+            nrm = raw["normals"].astype(np.float32)
+            sel = rng.randint(0, len(pts), size=self.points_per_shape)
+            out["points"] = np.clip(pts[sel], -1, 1)
+            out["normals"] = nrm[sel]
+        if self.load_split_small:
+            raw = np.load(os.path.join(fn, "split_small.npz"))
+            out["split_small"] = raw["split_small"].astype(np.float32)
         if self.load_sdf:
             sdf_raw = np.load(os.path.join(fn, "sdf.npz"))
             spts = sdf_raw["points"].astype(np.float32) / self.point_scale
@@ -173,15 +180,18 @@ class SyntheticDataset:
 def collate(samples: List[Dict]) -> Dict:
     """Stack per-sample dicts into fixed-shape batch arrays."""
     out = {
-        "points": np.stack([s["points"] for s in samples]),
-        "normals": np.stack([s["normals"] for s in samples]),
         "label": np.asarray([s["label"] for s in samples], np.int32),
         "filename": [s["filename"] for s in samples],
     }
+    if "points" in samples[0]:
+        out["points"] = np.stack([s["points"] for s in samples])
+        out["normals"] = np.stack([s["normals"] for s in samples])
     if "pos" in samples[0]:
         out["pos"] = np.stack([s["pos"] for s in samples])
         out["sdf"] = np.stack([s["sdf"] for s in samples])
         out["grad"] = np.stack([s["grad"] for s in samples])
+    if "split_small" in samples[0]:
+        out["split_small"] = np.stack([s["split_small"] for s in samples])
     return out
 
 
@@ -195,5 +205,7 @@ def get_dataset(cfg) -> object:
         return ShapeNetDataset(
             cfg.location, cfg.filelist, cfg.point_scale,
             cfg.point_sample_num, cfg.points_per_shape, cfg.load_sdf,
+            load_split_small=cfg.load_split_small,
+            load_pointcloud=cfg.load_pointcloud,
         )
     raise ValueError(cfg.name)

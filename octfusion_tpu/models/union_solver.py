@@ -67,7 +67,7 @@ class UnionSolver:
     # ------------------------------------------------------------------
     def init_params(self, key, batch):
         """Initialise diffusion params covering every built stage."""
-        b = batch["points"].shape[0]
+        b = (batch["points"] if "points" in batch else batch["label"]).shape[0]
         spec = self.spec1.with_batch_size(b)
         fd = self.cfg.model.full_depth
         s = 2**fd
@@ -127,12 +127,19 @@ class UnionSolver:
             batch.get("label")
             if self.union_cfg.num_classes is not None else None
         )
-        b = batch["points"].shape[0]
         if self.stage_flag == "lr":
-            octree = batch_to_octree(
-                batch["points"], batch["normals"], self.spec1
-            )
-            split = split_codec.octree2split_small(octree)
+            if "split_small" in batch:
+                # precomputed fast path (`dualoctree_snet.py:142-145`,
+                # tools/precompute_splits.py)
+                split = batch["split_small"]
+                b = split.shape[0]
+            else:
+                b = batch["points"].shape[0]
+                octree = batch_to_octree(
+                    batch["points"], batch["normals"], self.spec1
+                )
+                split = split_codec.octree2split_small(octree)
+                del octree
             loss = sampler.diffusion_loss(
                 lambda noised, snr: self.df.apply(
                     params, "lr", noised, snr, label=label
@@ -141,6 +148,7 @@ class UnionSolver:
             )
             return loss, {"loss": loss}
         # hr stage: frozen VAE encode (`octfusion_model_union.py:285-291`)
+        b = batch["points"].shape[0]
         octree, g = batch_to_graph(
             batch["points"], batch["normals"], self.spec1, self.edge_factor
         )

@@ -105,19 +105,19 @@ def make_union_dp_train_step(solver, mesh: Mesh):
             ld,
         )
 
-    batch_specs = {
-        "points": P("data"),
-        "normals": P("data"),
-        "label": P("data"),
-    }
+    def batch_specs(batch):
+        keys = {"points", "normals", "label", "split_small"}
+        return {k: P("data") for k in batch if k in keys}
 
-    sharded = shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(P(), P(), batch_specs, P()),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
+    def sharded(state, vae_params, batch, key):
+        return shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(), P(), batch_specs(batch), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(state, vae_params, batch, key)
+
     return jax.jit(sharded)
 
 
@@ -127,6 +127,7 @@ def shard_batch(batch, mesh: Mesh, vae: bool):
         "points": P("data"),
         "normals": P("data"),
         "label": P("data"),
+        "split_small": P("data"),
         "pos": P("data", "model"),
         "sdf": P("data", "model"),
         "grad": P("data", "model"),

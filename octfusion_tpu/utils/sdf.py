@@ -1,6 +1,12 @@
 """Dense SDF grid evaluation of the MPU + mesh export
 (`/root/reference/utils/util_dualoctree.py:99-118` calc_sdf; export at
-`models/octfusion_model_union.py:425-468`)."""
+`models/octfusion_model_union.py:425-468`).
+
+The whole grid is evaluated in ONE jitted program: query coordinates are
+generated on device (iota), chunks stream through ``lax.map`` (bounding peak
+memory exactly like the reference's 64^3 chunking), and a single fp16
+device->host transfer returns the grid — critical when the accelerator sits
+behind a slow link."""
 
 from __future__ import annotations
 
@@ -13,7 +19,6 @@ import numpy as np
 
 from ..octree.octree import Octree
 from ..ops import mpu as mpu_ops
-from . import mesh as mesh_utils
 
 
 def grid_points(size: int, bbmin: float, bbmax: float) -> np.ndarray:
@@ -23,9 +28,35 @@ def grid_points(size: int, bbmin: float, bbmax: float) -> np.ndarray:
     return g
 
 
-@partial(jax.jit, static_argnames=("full_depth", "depth_end"))
-def _mpu_chunk(pos, pb, reg_levels, octree, full_depth, depth_end):
-    return mpu_ops.mpu_eval(pos, pb, reg_levels, octree, full_depth, depth_end)[0]
+@partial(
+    jax.jit,
+    static_argnames=("full_depth", "depth_end", "size", "max_batch", "bsz"),
+)
+def _sdf_grid(reg_levels, octree, full_depth, depth_end, size, bbmin, bbmax,
+              max_batch, bsz):
+    num = size**3
+    n_chunks = -(-num // max_batch)
+
+    def chunk(args):
+        b, c = args
+        idx = c * max_batch + jnp.arange(max_batch, dtype=jnp.int32)
+        idx = jnp.minimum(idx, num - 1)
+        x = idx // (size * size)
+        y = (idx // size) % size
+        z = idx % size
+        pos = jnp.stack([x, y, z], -1).astype(jnp.float32)
+        pos = pos * ((bbmax - bbmin) / size) + bbmin
+        pb = jnp.full((max_batch,), b, jnp.int32)
+        sdf, _ = mpu_ops.mpu_eval(
+            pos, pb, reg_levels, octree, full_depth, depth_end
+        )
+        return sdf.astype(jnp.float16)
+
+    bs = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), n_chunks)
+    cs = jnp.tile(jnp.arange(n_chunks, dtype=jnp.int32), bsz)
+    out = jax.lax.map(chunk, (bs, cs))           # [bsz*n_chunks, max_batch]
+    out = out.reshape(bsz, n_chunks * max_batch)[:, :num]
+    return out
 
 
 def calc_sdf(
@@ -39,24 +70,14 @@ def calc_sdf(
     bbmax: float = 0.9,
     max_batch: int = 64**3,
 ) -> np.ndarray:
-    """[B, size, size, size] SDF values evaluated in chunks on device."""
-    samples = grid_points(size, bbmin, bbmax)
-    num = samples.shape[0]
-    out = np.zeros((batch_size, num), np.float32)
-    for b in range(batch_size):
-        for head in range(0, num, max_batch):
-            tail = min(head + max_batch, num)
-            chunk = samples[head:tail]
-            pad = max_batch - (tail - head)
-            if pad:
-                chunk = np.concatenate([chunk, np.zeros((pad, 3), np.float32)])
-            pb = jnp.full((max_batch,), b, jnp.int32)
-            sdf = _mpu_chunk(
-                jnp.asarray(chunk), pb, reg_levels, octree, full_depth,
-                depth_end,
-            )
-            out[b, head:tail] = np.asarray(sdf)[: tail - head]
-    return out.reshape(batch_size, size, size, size)
+    """[B, size, size, size] SDF values (float32 on host, fp16 transfer)."""
+    out = _sdf_grid(
+        reg_levels, octree, full_depth, depth_end, size,
+        jnp.float32(bbmin), jnp.float32(bbmax), max_batch, batch_size,
+    )
+    return np.asarray(out).astype(np.float32).reshape(
+        batch_size, size, size, size
+    )
 
 
 def export_meshes(
@@ -69,6 +90,8 @@ def export_meshes(
 ):
     """Marching-tetrahedra extraction + OBJ export per sample
     (`octfusion_model_union.py:435-468`)."""
+    from . import mesh as mesh_utils
+
     size = sdfs.shape[1]
     written = []
     for i, path in enumerate(save_paths):

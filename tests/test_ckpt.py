@@ -1,0 +1,41 @@
+"""Checkpoint save/restore/rotate/auto-resume tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from octfusion_tpu.utils import ckpt as ckpt_lib
+
+
+def make_state(v):
+    return {
+        "step": jnp.asarray(v, jnp.int32),
+        "params": {"w": jnp.full((4, 4), float(v)), "b": jnp.zeros((4,))},
+    }
+
+
+def test_save_restore_roundtrip(tmp_path):
+    d = str(tmp_path / "ckpt")
+    state = make_state(3)
+    ckpt_lib.save(d, state, step=3, ckpt_num=2)
+    restored = ckpt_lib.restore(os.path.join(d, "steps-3"), make_state(0))
+    assert int(restored["step"]) == 3
+    np.testing.assert_allclose(np.asarray(restored["params"]["w"]), 3.0)
+
+
+def test_rotation_and_latest(tmp_path):
+    d = str(tmp_path / "ckpt")
+    for s in [1, 2, 3, 4]:
+        ckpt_lib.save(d, make_state(s), step=s, ckpt_num=2)
+    names = sorted(os.listdir(d))
+    kept = [n for n in names if n.startswith("steps-") and n != "steps-latest"]
+    assert kept == ["steps-3", "steps-4"], kept
+    lp = ckpt_lib.latest_path(d)
+    restored = ckpt_lib.restore(lp, make_state(0))
+    assert int(restored["step"]) == 4
+
+
+def test_latest_path_empty(tmp_path):
+    assert ckpt_lib.latest_path(str(tmp_path / "nope")) is None

@@ -43,6 +43,9 @@ def parse_args():
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--profile", type=int, default=0,
+                   help="capture a jax.profiler trace for N steps "
+                        "(written to <run_dir>/profile)")
     return p.parse_args()
 
 
@@ -198,7 +201,10 @@ def main():
     # ------------------------------------------------------------------
     start = int(state.step)
     t0 = time.time()
+    prof_until = start + args.profile if args.profile else -1
     for it in range(start, total_steps):
+        if args.profile and it == start + 1:  # skip the compile step
+            jax.profiler.start_trace(os.path.join(run_dir, "profile"))
         batch = next(data_iter)
         key, k = jax.random.split(key)
         if mesh is not None:
@@ -218,6 +224,10 @@ def main():
         if is_main and it % cfg.train.print_freq == 0:
             dt = (time.time() - t0) / max(it - start + 1, 1)
             vis.print_current_errors(it, {k2: v for k2, v in ld.items()}, dt)
+        if args.profile and it == prof_until:
+            jax.block_until_ready(jax.tree_util.tree_leaves(state.params)[0])
+            jax.profiler.stop_trace()
+            print(f"[*] profile written to {run_dir}/profile")
         if is_main and (it + 1) % cfg.train.save_latest_freq == 0:
             ckpt_lib.save(ckpt_dir, state, it + 1, cfg.train.ckpt_num)
             print(f"[*] saved checkpoint at step {it + 1}")
