@@ -224,6 +224,24 @@ class Octree(struct.PyTreeNode):
         )
         return jnp.where(found, idx_c, -1)
 
+    def lookup_table(self, d: int) -> jnp.ndarray:
+        """Dense (batch, morton) -> node-slot table, -1 where absent.
+
+        [batch_size * 8^d] int32.  Turns key search into a single gather —
+        the MPU grid evaluation does millions of corner lookups and
+        pointwise gathers dominate on TPU, so one gather beats a ~15-step
+        binary search by ~30x in touched rows.  Costs B*8^d ints, so use it
+        for evaluation-time grids, not inside training losses."""
+        n = self.batch_size * 8**d
+        addr = self.batch[d] * (8**d) + self.keys[d]
+        valid = self.node_mask(d)
+        addr = jnp.where(valid, addr, n)
+        cap = self.spec.node_caps[d]
+        return jnp.full((n,), -1, jnp.int32).at[addr].set(
+            jnp.where(valid, jnp.arange(cap, dtype=jnp.int32), -1),
+            mode="drop",
+        )
+
     # ------------------------------------------------------------------
     # growth (decode path)
     # ------------------------------------------------------------------

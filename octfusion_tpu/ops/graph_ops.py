@@ -31,7 +31,11 @@ def graph_conv(
 ) -> jnp.ndarray:
     """x: [G, C]; w: [7*(C+node_ch), C_out].  Returns [G, C_out].
 
-    Invalid vertices produce zero rows (they have no edges)."""
+    Gather + pre-scaled sorted segment-add into the [G*7, C] column buffer,
+    then one MXU GEMM ``[G, 7C] @ [7C, C']``.  (A fixed-fanout
+    gather-table variant was benchmarked and lost to segment_sum on v5e —
+    the table touches ~3x more rows than there are edges.)  Invalid
+    vertices produce zero rows."""
     g = x.shape[0]
     if n_node_type > 1:
         onehot = jax.nn.one_hot(lvl.node_type, n_node_type, dtype=x.dtype)
@@ -72,8 +76,13 @@ def dual_group_norm(
     mask = lvl.node_mask
     bid = jnp.where(mask, lvl.node_batch, bsz)
 
-    ones = mask.astype(jnp.float32)
-    count = jax.ops.segment_sum(ones, bid, num_segments=bsz)  # [B]
+    # one-hot matmul reductions: [G, B] indicator x [G, C] features hits the
+    # MXU instead of lowering to scatter-adds
+    onehot = (
+        (lvl.node_batch[:, None] == jnp.arange(bsz, dtype=jnp.int32)[None])
+        & mask[:, None]
+    ).astype(jnp.float32)                                # [G, B]
+    count = jnp.sum(onehot, axis=0)                      # [B]
     count = count[:, None] * cpg
     inv_count = 1.0 / (count + eps)
 
@@ -83,13 +92,14 @@ def dual_group_norm(
         t = t.reshape(bsz, group, cpg).sum(-1, keepdims=True)
         return jnp.broadcast_to(t, (bsz, group, cpg)).reshape(bsz, c)
 
-    xsum = jax.ops.segment_sum(
-        jnp.where(mask[:, None], xf, 0.0), bid, num_segments=bsz
+    xsum = jnp.einsum(
+        "gb,gc->bc", onehot, xf, preferred_element_type=jnp.float32
     )
     mean = group_adjust(xsum) * inv_count
     out = xf - mean[jnp.clip(bid, 0, bsz - 1)]
-    vsum = jax.ops.segment_sum(
-        jnp.where(mask[:, None], out * out, 0.0), bid, num_segments=bsz
+    out = jnp.where(mask[:, None], out, 0.0)
+    vsum = jnp.einsum(
+        "gb,gc->bc", onehot, out * out, preferred_element_type=jnp.float32
     )
     var = group_adjust(vsum) * inv_count
     inv_std = jax.lax.rsqrt(var + eps)

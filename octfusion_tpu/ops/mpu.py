@@ -48,9 +48,12 @@ def linear_basis(x):
 
 
 def octree_corner_info(octree: Octree, depth: int, pos: jnp.ndarray,
-                       pt_batch: jnp.ndarray):
+                       pt_batch: jnp.ndarray, table=None):
     """For queries ``pos`` in [-1,1]^3: the 8 trilinear corner nodes at
     ``depth`` (`mpu.py:55-94`).
+
+    ``table``: optional dense lookup (``octree.lookup_table(depth)``) that
+    replaces the binary search with one gather — use for grid evaluation.
 
     Returns (idx [N,8] int32 node slot or -1, coordsf [N,8,3] offsets in the
     query's scale, weights [N,8] trilinear*depth-scale, valid [N,8])."""
@@ -64,8 +67,13 @@ def octree_corner_info(octree: Octree, depth: int, pos: jnp.ndarray,
     ci = jnp.clip(corners, 0, scale - 1).astype(jnp.int32)
     key = morton.xyz2key(ci[..., 0], ci[..., 1], ci[..., 2], depth)
     qb = jnp.broadcast_to(pt_batch[:, None], key.shape)
-    idx = octree.search_key(key.reshape(-1), qb.reshape(-1), depth)
-    idx = idx.reshape(key.shape)
+    if table is not None:
+        n = octree.batch_size * 8**depth
+        addr = jnp.clip(qb, 0, octree.batch_size - 1) * (8**depth) + key
+        idx = table[jnp.clip(addr, 0, n - 1)]
+    else:
+        idx = octree.search_key(key.reshape(-1), qb.reshape(-1), depth)
+        idx = idx.reshape(key.shape)
     valid = inb & (idx >= 0)
 
     w = jnp.prod(linear_basis(coordsf), axis=-1)                   # [N,8]
@@ -82,6 +90,7 @@ def mpu_eval(
     full_depth: int,
     depth_end: int,
     corner_cache=None,
+    tables=None,
 ):
     """Blend per-node planes into SDF values at ``pos``
     (`mpu.py:97-134`).
@@ -98,7 +107,8 @@ def mpu_eval(
             idx, coordsf, w, valid = corner_cache[dd]
         else:
             idx, coordsf, w, valid = octree_corner_info(
-                octree, dd, pos, pt_batch
+                octree, dd, pos, pt_batch,
+                table=None if tables is None else tables.get(dd),
             )
         cap = octree.spec.node_caps[dd]
         idx_c = jnp.clip(idx, 0, cap - 1)

@@ -36,6 +36,11 @@ def _sdf_grid(reg_levels, octree, full_depth, depth_end, size, bbmin, bbmax,
               max_batch, bsz):
     num = size**3
     n_chunks = -(-num // max_batch)
+    # dense key->slot tables turn every corner lookup into one gather
+    tables = {
+        dd: octree.lookup_table(dd)
+        for dd in range(full_depth, depth_end + 1)
+    }
 
     def chunk(args):
         b, c = args
@@ -48,7 +53,8 @@ def _sdf_grid(reg_levels, octree, full_depth, depth_end, size, bbmin, bbmax,
         pos = pos * ((bbmax - bbmin) / size) + bbmin
         pb = jnp.full((max_batch,), b, jnp.int32)
         sdf, _ = mpu_ops.mpu_eval(
-            pos, pb, reg_levels, octree, full_depth, depth_end
+            pos, pb, reg_levels, octree, full_depth, depth_end,
+            tables=tables,
         )
         return sdf.astype(jnp.float16)
 
