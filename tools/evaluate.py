@@ -1,0 +1,71 @@
+"""Generation-quality evaluation driver.
+
+Counterpart of the reference's offline pipeline (SURVEY.md §3.5):
+``metrics/generate_pointclouds.py`` (mesh -> 2048 unit-cube surface samples)
++ ``metrics/1-NNA.py`` / ``cov_mmd.py`` (pairwise CD/EMD -> metrics).
+
+    python tools/evaluate.py --samples 'logs/run/results_airplane/*.obj' \
+        --reference 'data/ref_meshes/*.obj' [--emd] [--points 2048]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def meshes_to_pointclouds(paths, n_points: int, seed: int = 0):
+    from octfusion_tpu.utils import mesh as mesh_utils
+
+    clouds = []
+    kept = []
+    for i, p in enumerate(paths):
+        v, f = mesh_utils.load_obj(p)
+        if len(f) == 0:
+            continue
+        # unit-cube normalisation (`metrics/generate_pointclouds.py:28-37`)
+        centre = (v.min(0) + v.max(0)) / 2
+        scale = (v.max(0) - v.min(0)).max()
+        v = (v - centre) / max(scale, 1e-9)
+        pts = mesh_utils.sample_surface(v, f, n_points, seed=seed + i)
+        clouds.append(pts.astype(np.float32))
+        kept.append(p)
+    return np.stack(clouds), kept
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--samples", required=True)
+    p.add_argument("--reference", required=True)
+    p.add_argument("--points", type=int, default=2048)
+    p.add_argument("--emd", action="store_true")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    from octfusion_tpu.metrics import evaluation
+
+    s_paths = sorted(glob.glob(args.samples))
+    r_paths = sorted(glob.glob(args.reference))
+    assert s_paths and r_paths, (args.samples, args.reference)
+    sp, _ = meshes_to_pointclouds(s_paths, args.points, seed=0)
+    rp, _ = meshes_to_pointclouds(r_paths, args.points, seed=10_000)
+    print(f"[*] {len(sp)} samples vs {len(rp)} references "
+          f"({args.points} pts each)")
+    res = evaluation.evaluate_point_sets(sp, rp, batch=args.batch,
+                                         emd=args.emd)
+    print(json.dumps(res, indent=2))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(res, fh, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -228,6 +228,30 @@ def main():
             jax.block_until_ready(jax.tree_util.tree_leaves(state.params)[0])
             jax.profiler.stop_trace()
             print(f"[*] profile written to {run_dir}/profile")
+        # periodic qualitative eval (`train.py:105-123` display_freq)
+        if (
+            is_main and cfg.train.display_freq > 0
+            and (it + 1) % cfg.train.display_freq == 0
+        ):
+            ddir = os.path.join(run_dir, "train_temp")
+            os.makedirs(ddir, exist_ok=True)
+            k2 = jax.random.fold_in(key, it)
+            try:
+                if args.model == "vae":
+                    solver.reconstruct(
+                        state.params, collated_one(dataset, it, jnp), k2,
+                        resolution=min(cfg.solver.resolution, 128),
+                        save_paths=[os.path.join(ddir, f"recon_{it + 1}.obj")],
+                    )
+                elif args.stage != "lr":
+                    solver.sample(
+                        state.ema_params, vae_params, k2, batch_size=1,
+                        resolution=min(cfg.solver.resolution, 128),
+                        save_paths=[os.path.join(ddir, f"sample_{it + 1}.obj")],
+                    )
+                print(f"[*] display eval written under {ddir}")
+            except Exception as e:  # eval must not kill training
+                print(f"[warn] display eval failed: {e}")
         if is_main and (it + 1) % cfg.train.save_latest_freq == 0:
             ckpt_lib.save(ckpt_dir, state, it + 1, cfg.train.ckpt_num)
             print(f"[*] saved checkpoint at step {it + 1}")
