@@ -90,6 +90,7 @@ class DiffusionConfig:
     attention_resolutions: Tuple[int, ...] = (2, 4)
     num_heads: int = 4
     num_classes: Optional[int] = None
+    compute_dtype: str = "float32"   # 'bfloat16' for mixed precision
 
 
 @dataclasses.dataclass(frozen=True)

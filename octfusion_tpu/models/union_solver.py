@@ -42,6 +42,7 @@ class UnionSolver:
             channel_mult=tuple(tuple(x) for x in d.channel_mult),
             attention_resolutions=tuple(d.attention_resolutions),
             num_heads=d.num_heads, num_classes=d.num_classes,
+            compute_dtype=d.compute_dtype,
         )
         self.df = UNetUnion(self.union_cfg, stage_flag)
         m = cfg.model

@@ -68,6 +68,7 @@ class VAESolver:
             out, pos, pb, sdf_gt, grad_gt,
             m.full_depth, m.depth_stop, m.depth_out,
             kl_weight=self.cfg.loss.kl_weight,
+            loss_type=self.cfg.loss.loss_type,
         )
         del octree
         return ld["loss"], ld

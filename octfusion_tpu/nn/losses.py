@@ -60,6 +60,57 @@ def sdf_reg_loss(sdf, grad, sdf_gt, grad_gt, suffix=""):
     }
 
 
+def _masked_mean(x, m):
+    return jnp.sum(jnp.where(m, x, 0.0)) / jnp.maximum(jnp.sum(m), 1)
+
+
+def sdf_grad_loss(sdf, grad, sdf_gt, grad_gt, suffix=""):
+    """Surface/eikonal variant (`loss.py:32-45`): points with sdf_gt == -1
+    are off-surface dummies."""
+    on = sdf_gt != -1
+    off = ~on
+    return {
+        f"sdf_loss{suffix}": _masked_mean(sdf**2, on) * 200.0,
+        f"norm_loss{suffix}": _masked_mean(
+            jnp.mean((grad - grad_gt) ** 2, -1), on
+        ),
+        f"inter_loss{suffix}": _masked_mean(
+            jnp.exp(-40.0 * jnp.abs(sdf)), off
+        ) * 0.1,
+        f"grad_loss{suffix}": _masked_mean(
+            jnp.abs(jnp.linalg.norm(grad, axis=-1) - 1.0), off
+        ) * 0.1,
+    }
+
+
+def possion_grad_loss(sdf, grad, sdf_gt, grad_gt, suffix=""):
+    """Poisson-style variant (`loss.py:65-80`): sdf_gt == 0 marks surface,
+    == 1 marks out-of-bbox points."""
+    on = sdf_gt == 0
+    oob = sdf_gt == 1.0
+    off = ~on
+    return {
+        f"sdf_loss{suffix}": _masked_mean(sdf**2, on) * 200.0,
+        f"norm_loss{suffix}": _masked_mean(
+            jnp.sum((grad - grad_gt) ** 2, -1), on
+        ),
+        f"inter_loss{suffix}": _masked_mean(
+            jnp.exp(-40.0 * jnp.abs(sdf)), off
+        ) * 0.1,
+        f"grad_loss{suffix}": _masked_mean(
+            jnp.sum(grad**2, -1), off
+        ) * 0.1,
+        f"bbox_loss{suffix}": _masked_mean(jax.nn.relu(-sdf), oob) * 100.0,
+    }
+
+
+LOSS_FUNCTIONS = {
+    "sdf_reg_loss": sdf_reg_loss,
+    "sdf_grad_loss": sdf_grad_loss,
+    "possion_grad_loss": possion_grad_loss,
+}
+
+
 def geometry_loss(
     vae_out: Dict,
     pos: jnp.ndarray,
@@ -70,10 +121,12 @@ def geometry_loss(
     depth_stop: int,
     depth_out: int,
     kl_weight: float = 0.1,
+    loss_type: str = "sdf_reg_loss",
 ):
     """Full VAE objective (`loss.py:164-178`): per-depth split CE, per-depth
     SDF+gradient regression, KL.  Returns a dict including the scalar
     'loss'."""
+    reg_fn = LOSS_FUNCTIONS[loss_type]
     octree_out = vae_out["octree_out"]
     output = octree_split_loss(vae_out["logits"], octree_out)
     for d in range(depth_stop, depth_out + 1):
@@ -81,7 +134,7 @@ def geometry_loss(
             pos, pt_batch, vae_out["reg_voxs"][d], octree_out,
             full_depth, d,
         )
-        output.update(sdf_reg_loss(sdf, grad, sdf_gt, grad_gt, f"_{d}"))
+        output.update(reg_fn(sdf, grad, sdf_gt, grad_gt, f"_{d}"))
     output["kl_loss"] = kl_weight * vae_out["kl_loss"]
     total = sum(v for k, v in output.items() if "loss" in k)
     output["loss"] = total

@@ -33,6 +33,9 @@ class UnionConfig:
     num_heads: int = 4
     num_classes: Optional[int] = None
     use_checkpoint: bool = True
+    # 'bfloat16' runs the U-Net bodies in bf16 (params stay fp32; norms
+    # compute fp32 stats); outputs are cast back to fp32
+    compute_dtype: str = "float32"
 
     def stage_index(self, stage: str) -> int:
         return self.unet_type.index(stage)
@@ -116,11 +119,16 @@ class UNetUnion(nn.Module):
         with_lr_middle: bool = True,
         deterministic: bool = True,
     ):
+        dt = jnp.dtype(self.config.compute_dtype)
+        in_dt = x.dtype
+        x = x.astype(dt)
+        if x_self_cond is not None:
+            x_self_cond = x_self_cond.astype(dt)
         if unet_type == "lr":
             return self.unet_lr_m(
                 x, timesteps, x_self_cond=x_self_cond, label=label,
                 deterministic=deterministic,
-            )
+            ).astype(in_dt)
         if unet_type == "hr":
             lr_apply = (
                 self.unet_lr_m.forward_as_middle if with_lr_middle else None
@@ -128,7 +136,7 @@ class UNetUnion(nn.Module):
             return self.unet_hr_m(
                 x, g, timesteps, lr_apply=lr_apply, label=label,
                 deterministic=deterministic,
-            )
+            ).astype(in_dt)
         if unet_type == "feature":
             hr_apply = (
                 (lambda h, gg, d, t, lb: self.unet_hr_m(
@@ -140,5 +148,5 @@ class UNetUnion(nn.Module):
             return self.unet_feature_m(
                 x, g, timesteps, lr_apply=hr_apply, label=label,
                 deterministic=deterministic,
-            )
+            ).astype(in_dt)
         raise ValueError(unet_type)

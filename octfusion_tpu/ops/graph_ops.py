@@ -92,18 +92,22 @@ def dual_group_norm(
         t = t.reshape(bsz, group, cpg).sum(-1, keepdims=True)
         return jnp.broadcast_to(t, (bsz, group, cpg)).reshape(bsz, c)
 
-    xsum = jnp.einsum(
-        "gb,gc->bc", onehot, xf, preferred_element_type=jnp.float32
+    # E[x] and E[x^2] in ONE matmul (concat trick); var = E[x^2] - mean^2
+    both = jnp.concatenate([xf, xf * xf], axis=-1)
+    sums = jnp.einsum(
+        "gb,gc->bc", onehot, both, preferred_element_type=jnp.float32
     )
+    xsum, x2sum = sums[:, :c], sums[:, c:]
     mean = group_adjust(xsum) * inv_count
-    out = xf - mean[jnp.clip(bid, 0, bsz - 1)]
+    ex2 = group_adjust(x2sum) * inv_count
+    # sum over (nodes, group channels) of (x - m)^2 = sum x^2 - count * m^2,
+    # so var = E[x^2] - mean^2 exactly (up to fp rounding)
+    var = jnp.maximum(ex2 - mean * mean, 0.0)
+    bidc = jnp.clip(bid, 0, bsz - 1)
+    out = xf - mean[bidc]
     out = jnp.where(mask[:, None], out, 0.0)
-    vsum = jnp.einsum(
-        "gb,gc->bc", onehot, out * out, preferred_element_type=jnp.float32
-    )
-    var = group_adjust(vsum) * inv_count
     inv_std = jax.lax.rsqrt(var + eps)
-    out = out * inv_std[jnp.clip(bid, 0, bsz - 1)]
+    out = out * inv_std[bidc]
     out = out * scale[None, :] + bias[None, :]
     out = jnp.where(mask[:, None], out, 0.0)
     return out.astype(x.dtype)
