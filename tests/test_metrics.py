@@ -79,3 +79,17 @@ def test_1nna_and_cov_mmd():
     # cov of identical sets is high
     res3 = evaluation.evaluate_point_sets(s, s.copy(), batch=8, emd=False)
     assert res3["cov_cd"] == 1.0
+
+
+def test_chamfer_pallas_interpret():
+    """Pallas kernel parity in interpreter mode (compiled-mode parity +
+    timing is exercised on the TPU; see PERF.md)."""
+    import jax.numpy as jnp
+
+    from octfusion_tpu.ops.pallas.chamfer_kernel import chamfer_pallas
+
+    a, b = clouds(b=2, n=700, m=1100, seed=5)
+    dl, dr = chamfer_pallas(jnp.asarray(a), jnp.asarray(b), interpret=True)
+    d = ((a[:, :, None] - b[:, None]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(dl), d.min(2), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dr), d.min(1), rtol=1e-4, atol=1e-5)
