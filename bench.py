@@ -25,7 +25,6 @@ def main():
 
     jaxcache.enable()
     import jax.numpy as jnp
-    import numpy as np
 
     from octfusion_tpu.config import CapacityConfig, Config, SolverConfig
     from octfusion_tpu.data.dataset import SyntheticDataset, collate

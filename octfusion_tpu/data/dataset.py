@@ -13,7 +13,7 @@ image that ships no ShapeNet data.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

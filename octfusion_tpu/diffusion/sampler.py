@@ -10,7 +10,6 @@ TRUNCATED_TIME = 0.7).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

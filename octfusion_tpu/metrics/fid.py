@@ -10,7 +10,7 @@ either a callable ``images [N,S,S] -> features [N,D]`` or set
 from __future__ import annotations
 
 import os
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import numpy as np
 

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..octree.dual_graph import DualGraph, build_dual_graph
+from ..octree.dual_graph import build_dual_graph
 from ..octree.octree import Octree, OctreeSpec, build_octree, merge_octrees
 
 

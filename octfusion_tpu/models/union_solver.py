@@ -8,7 +8,7 @@ grid and a mesh.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

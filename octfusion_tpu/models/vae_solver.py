@@ -5,8 +5,7 @@ geometry loss, reconstruction inference -> SDF grid -> mesh.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

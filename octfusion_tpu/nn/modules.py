@@ -12,7 +12,7 @@ Parameter naming is chosen so the torch->jax checkpoint converter
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Sequence, Tuple
+
 
 import jax
 import jax.numpy as jnp

@@ -10,14 +10,12 @@ the output conv is zero-initialised.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ..octree.dual_graph import DualGraph
-from ..ops import graph_ops
 from . import modules
 from .modules import swish, timestep_embedding
 

@@ -14,13 +14,11 @@ previous x0 estimate.  We reproduce that behaviour.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..octree.octree import Octree
 from . import modules
 from .modules import swish
 

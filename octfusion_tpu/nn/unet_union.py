@@ -9,7 +9,7 @@ YAML (`configs/octfusion_snet_uncond.yaml:11-27`); construction stops at
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -108,6 +108,9 @@ class GraphSpec:
         return self.cur_off(d) + self.ospec.node_caps[d]
 
     def e_cap(self, d: int) -> int:
+        if d == self.full_depth:
+            # dense level is exact: 6 face neighbours + self loop per vertex
+            return 7 * self.g_cap(d)
         return self.edge_factor * self.g_cap(d)
 
 

@@ -27,7 +27,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 from flax import struct
 

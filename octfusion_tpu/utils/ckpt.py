@@ -12,8 +12,6 @@ import re
 import shutil
 from typing import Any, Optional
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 

@@ -203,3 +203,42 @@ def test_vae_decode_grow():
         ne = np.asarray(oc.nempty_mask(d))
         np.testing.assert_array_equal(ne[nmask], (label > 0)[nmask])
         assert int(oc.nnum[d + 1]) == 8 * int(oc.nnum_nempty[d])
+
+
+def test_sdf_grid_hierarchical_matches_dense():
+    """Hierarchical coarse-to-fine grid must agree with the dense pass near
+    the surface (exactly where iso-surfacing reads it)."""
+    import jax.numpy as jnp
+
+    from octfusion_tpu.utils import sdf as sdf_utils
+
+    o = make_octree(seed=9, n=200)
+    fd, depth = o.spec.full_depth, o.spec.depth
+    # per-node planes of the analytic sphere SDF F(p) = |p| - 0.6:
+    # n = c/|c|, b = F(c) at each node centre -> the MPU blend approximates
+    # a genuinely smooth field (what a trained decoder produces)
+    reg = {}
+    for dd in range(fd, depth + 1):
+        from octfusion_tpu.octree import morton as M
+
+        keys = np.asarray(o.keys[dd])
+        scale = 2**dd
+        x, y, z = (np.asarray(v) for v in M.key2xyz(jnp.asarray(keys), dd))
+        centre = (np.stack([x, y, z], -1) + 0.5) / scale * 2.0 - 1.0
+        norm = np.linalg.norm(centre, axis=-1, keepdims=True)
+        r = np.zeros((o.spec.node_caps[dd], 4), np.float32)
+        r[:, :3] = centre / np.maximum(norm, 1e-9)
+        r[:, 3] = (norm[:, 0] - 0.6)
+        r[~np.asarray(o.node_mask(dd))] = 0
+        reg[dd] = jnp.asarray(r)
+    size = 64
+    dense = sdf_utils.calc_sdf(
+        reg, o, fd, depth, 1, size=size, max_batch=32**3, hierarchical=False
+    )
+    hier = sdf_utils.calc_sdf(
+        reg, o, fd, depth, 1, size=size, max_batch=32**3, hierarchical=True,
+        near_frac=0.25,
+    )
+    near = np.abs(dense) < 0.04
+    assert near.sum() > 100
+    np.testing.assert_allclose(hier[near], dense[near], atol=2e-3)

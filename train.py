@@ -18,7 +18,6 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import os
-import shutil
 import time
 
 
@@ -62,7 +61,6 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
-    import numpy as np
 
     from octfusion_tpu import config as config_lib
     from octfusion_tpu.data import loader as loader_lib
