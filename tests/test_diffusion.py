@@ -193,3 +193,44 @@ def test_diffusion_loss_grads():
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(bool(jnp.isfinite(l).all()) for l in leaves)
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_conditional_hr_label_changes_output():
+    """Class conditioning must reach both U-Nets (label embedding added to
+    the time embedding, `graph_unet_hr.py:232-234`)."""
+    o = make_octree()
+    g = build_dual_graph(o)
+    cfg = tiny_union(num_classes=5)
+    model = UNetUnion(cfg, stage_flag="hr")
+    key = jax.random.PRNGKey(7)
+    lvl = g.level(4)
+    x = jax.random.normal(key, (lvl.g_cap, 3))
+    x = jnp.where(lvl.node_mask[:, None], x, 0)
+    t = jnp.array([0.5, 0.1])
+    xlr = jax.random.normal(key, (2, 4, 4, 4, 8))
+    lab0 = jnp.array([0, 1])
+    lab1 = jnp.array([3, 4])
+    params = model.init(key, xlr, x, g, t, label=lab0, method=UNetUnion.warmup)
+    # at init every diffusion res-block's second conv is zero-init (the
+    # standard zero_module pattern), which blocks all embedding influence;
+    # un-zero them plus the hr output conv so label effects reach the output
+    k2 = jax.random.split(key, 8)
+    hr_tree = params["params"]["unet_hr"]
+    hr_tree["out"]["weights"] = jnp.ones_like(hr_tree["out"]["weights"]) * 0.01
+    hr_tree["input_0"]["conv2"]["weights"] = (
+        jax.random.normal(k2[0], hr_tree["input_0"]["conv2"]["weights"].shape)
+        * 0.02
+    )
+    lr_tree = params["params"]["unet_lr"]
+    w = lr_tree["down_0_res"]["conv2"]["conv"]["kernel"]
+    lr_tree["down_0_res"]["conv2"]["conv"]["kernel"] = (
+        jax.random.normal(k2[1], w.shape) * 0.02
+    )
+
+    y0 = model.apply(params, "hr", x, t, g=g, label=lab0)
+    y1 = model.apply(params, "hr", x, t, g=g, label=lab1)
+    assert float(jnp.abs(y0 - y1).max()) > 0
+
+    z0 = model.apply(params, "lr", xlr, t, label=lab0)
+    z1 = model.apply(params, "lr", xlr, t, label=lab1)
+    assert float(jnp.abs(z0 - z1).max()) > 0
