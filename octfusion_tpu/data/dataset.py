@@ -24,8 +24,9 @@ class ShapeNetDataset:
     def __init__(self, location: str, filelist: str, point_scale: float = 0.5,
                  point_sample_num: int = 10000, points_per_shape: int = 65536,
                  load_sdf: bool = True, load_split_small: bool = False,
-                 load_pointcloud: bool = True):
+                 load_pointcloud: bool = True, in_memory: bool = False):
         self.location = location
+        self._cache = {} if in_memory else None
         self.point_scale = point_scale
         self.point_sample_num = point_sample_num
         self.points_per_shape = points_per_shape
@@ -43,22 +44,29 @@ class ShapeNetDataset:
     def __len__(self):
         return len(self.filenames)
 
+    def _load(self, path):
+        if self._cache is not None:
+            if path not in self._cache:
+                self._cache[path] = {k: v for k, v in np.load(path).items()}
+            return self._cache[path]
+        return np.load(path)
+
     def __getitem__(self, idx: int) -> Dict:
         fn = os.path.join(self.location, self.filenames[idx])
         rng = np.random.RandomState()
         out = {"filename": self.filenames[idx], "label": self.labels[idx]}
         if self.load_pointcloud:
-            raw = np.load(os.path.join(fn, "pointcloud.npz"))
+            raw = self._load(os.path.join(fn, "pointcloud.npz"))
             pts = raw["points"].astype(np.float32) / self.point_scale
             nrm = raw["normals"].astype(np.float32)
             sel = rng.randint(0, len(pts), size=self.points_per_shape)
             out["points"] = np.clip(pts[sel], -1, 1)
             out["normals"] = nrm[sel]
         if self.load_split_small:
-            raw = np.load(os.path.join(fn, "split_small.npz"))
+            raw = self._load(os.path.join(fn, "split_small.npz"))
             out["split_small"] = raw["split_small"].astype(np.float32)
         if self.load_sdf:
-            sdf_raw = np.load(os.path.join(fn, "sdf.npz"))
+            sdf_raw = self._load(os.path.join(fn, "sdf.npz"))
             spts = sdf_raw["points"].astype(np.float32) / self.point_scale
             sel2 = rng.randint(0, len(spts), size=self.point_sample_num)
             out["pos"] = spts[sel2]
@@ -207,5 +215,6 @@ def get_dataset(cfg) -> object:
             cfg.point_sample_num, cfg.points_per_shape, cfg.load_sdf,
             load_split_small=cfg.load_split_small,
             load_pointcloud=cfg.load_pointcloud,
+            in_memory=cfg.in_memory,
         )
     raise ValueError(cfg.name)
