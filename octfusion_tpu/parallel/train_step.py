@@ -118,6 +118,76 @@ def make_union_dp_train_step(solver, mesh: Mesh):
     return jax.jit(sharded)
 
 
+def make_dp_sample(solver, mesh: Mesh, steps=None, resolution: int = 256,
+                   near_frac: float = 0.125):
+    """Data-parallel generation: every device of the 'data' axis runs the
+    full cascade (lr sample -> octree growth -> hr sample -> growing decode
+    -> SDF grid) for its own shape — the v5e-8 throughput path the
+    single-chip benchmark extrapolates to.
+
+    Returns a jitted fn(params, vae_params, keys [n_data], labels|None) ->
+    sdf grids [n_data, R, R, R] (fp16)."""
+    import jax.numpy as jnp
+
+    from ..nn.vae import GraphVAE
+    from ..octree import split_codec
+    from ..octree.dual_graph import build_dual_graph
+    from ..utils import sdf as sdf_utils
+
+    m = solver.cfg.model
+    spec = solver.spec1  # batch 1 per device
+    n_steps = steps or solver.cfg.diffusion.ddim_steps
+
+    def local(params, vae_params, key, label):
+        key = jax.random.fold_in(key[0], jax.lax.axis_index("data"))
+        k1, k2 = jax.random.split(key)
+        split = solver.sample_lr(
+            params, k1, batch_size=1,
+            label=None if label is None else label[:1],
+            steps=n_steps,
+        )
+        octree = split_codec.split2octree_small(split, spec)
+        g = build_dual_graph(
+            octree, solver.edge_factor, up_to=solver.small_depth
+        )
+        code = solver.sample_hr(
+            params, k2, g, batch_size=1,
+            label=None if label is None else label[:1],
+            steps=n_steps,
+        )
+        out = solver.vae.apply(
+            vae_params, code, g, method=GraphVAE.decode_grow
+        )
+        max_batch = min(64**3, max(resolution**3 // 8, 512))
+        grid = sdf_utils._sdf_grid_hier(
+            out["reg_voxs"][m.depth_out], out["octree_out"],
+            m.full_depth, m.depth_out, resolution,
+            jnp.float32(-solver.cfg.solver.sdf_scale),
+            jnp.float32(solver.cfg.solver.sdf_scale),
+            max_batch, 1, near_frac=near_frac,
+        )
+        return grid.reshape(1, resolution, resolution, resolution)
+
+    def wrapper(params, vae_params, keys, labels=None):
+        in_specs = (P(), P(), P("data"), P("data") if labels is not None else None)
+        if labels is None:
+            fn = shard_map(
+                lambda p, vp, k: local(p, vp, k, None),
+                mesh=mesh, in_specs=(P(), P(), P("data")),
+                out_specs=P("data"), check_vma=False,
+            )
+            return fn(params, vae_params, keys)
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data")),
+            out_specs=P("data"), check_vma=False,
+        )
+        del in_specs
+        return fn(params, vae_params, keys, labels)
+
+    return jax.jit(wrapper, static_argnames=())
+
+
 def shard_batch(batch, mesh: Mesh, vae: bool):
     """Device_put the host batch with the step's expected shardings."""
     specs = {

@@ -86,8 +86,9 @@ def _sdf_grid_hier(reg_levels, octree, full_depth, depth_end, size, bbmin,
     ).reshape(bsz, size**3)
 
     # select near-surface COARSE cells (8x smaller sort), refine their 8
-    # children each
-    near_cap = int(size**3 * near_frac) // max_batch * max_batch
+    # children each; at least one chunk, at most every coarse cell
+    near_cap = max(int(size**3 * near_frac) // max_batch, 1) * max_batch
+    near_cap = min(near_cap, half**3 * 8)
     n_coarse = near_cap // 8
     corder = jnp.argsort(
         jnp.abs(coarse.reshape(bsz, half**3)), axis=1

@@ -55,3 +55,27 @@ def test_union_lr_dp_step():
     assert np.isfinite(float(ld["loss"]))
     state3, ld2 = step(state2, None, sb, key)
     assert np.isfinite(float(ld2["loss"]))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_dp_sample_generates_per_device_shapes():
+    """Each device of the data axis generates its own shape (the v5e-8
+    throughput path): distinct keys must give distinct SDF grids."""
+    cfg = tiny_config()
+    solver = UnionSolver(cfg, stage_flag="hr")
+    vs = VAESolver(cfg)
+    key = jax.random.PRNGKey(5)
+    batch = make_batch(2)
+    jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "filename"}
+    state = solver.init_state(key, {k: v[:1] for k, v in jb.items()})
+    vstate = vs.init_state(key, {k: v[:1] for k, v in jb.items()}, 10)
+
+    mesh = make_mesh(data=8, model=1)
+    sample_fn = pts.make_dp_sample(solver, mesh, steps=3, resolution=16)
+    keys = jax.random.split(key, 8)
+    grids = sample_fn(state.ema_params, vstate.params, keys)
+    assert grids.shape == (8, 16, 16, 16)
+    g = np.asarray(grids, np.float32)
+    assert np.isfinite(g).all()
+    # different devices got different noise -> different shapes
+    assert np.abs(g[0] - g[1]).max() > 0

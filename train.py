@@ -104,7 +104,13 @@ def main():
     global_batch = cfg.data.batch_size
     if args.mode == "train" and n_dev > 1:
         # global batch must divide over the data axis
-        global_batch = max(n_dev, (global_batch // n_dev) * n_dev)
+        data_axis = (
+            cfg.mesh.data_axis if cfg.mesh.data_axis > 0
+            else n_dev // cfg.mesh.model_axis
+        )
+        global_batch = max(
+            data_axis, (global_batch // data_axis) * data_axis
+        )
     dl = loader_lib.DataLoader(
         dataset, global_batch, cfg.data.shuffle, cfg.train.seed,
         cfg.data.num_workers,
@@ -140,7 +146,7 @@ def main():
         solver = VAESolver(cfg)
         state = solver.init_state(key, jb_one, total_steps=total_steps)
         if n_dev > 1:
-            mesh = make_mesh(data=n_dev, model=1)
+            mesh = make_mesh(data=cfg.mesh.data_axis, model=cfg.mesh.model_axis)
             step_fn = pts.make_vae_dp_train_step(solver, mesh, total_steps)
         else:
             mesh = None
@@ -160,11 +166,28 @@ def main():
             vs = VAESolver(cfg)
             vae_params = vs.init_state(key, jb_one, total_steps=10).params
         if n_dev > 1:
-            mesh = make_mesh(data=n_dev, model=1)
+            mesh = make_mesh(data=cfg.mesh.data_axis, model=cfg.mesh.model_axis)
             step_fn = pts.make_union_dp_train_step(solver, mesh)
         else:
             mesh = None
             step_fn = solver.make_train_step()
+
+    # stage bootstrap: graft the lr-stage (and hr for feature) subtrees from
+    # a previous stage's checkpoint (`octfusion_model_union.py:127-128`)
+    if args.pretrain_ckpt and args.model != "vae":
+        pre = ckpt_lib.restore(args.pretrain_ckpt, None)
+        grafts = {"hr": ("unet_lr",), "feature": ("unet_lr", "unet_hr")}.get(
+            args.stage, ()
+        )
+        for sub in grafts:
+            if sub in pre["params"]["params"]:
+                state.params["params"][sub] = jax.tree_util.tree_map(
+                    jnp.asarray, pre["params"]["params"][sub]
+                )
+                state.ema_params["params"][sub] = jax.tree_util.tree_map(
+                    jnp.asarray, pre["ema_params"]["params"][sub]
+                )
+                print(f"[*] grafted {sub} from {args.pretrain_ckpt}")
 
     # auto-resume (`octfusion_model_union.py:150-160`)
     resume = args.ckpt or ckpt_lib.latest_path(ckpt_dir)
