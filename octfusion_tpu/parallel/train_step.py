@@ -169,7 +169,6 @@ def make_dp_sample(solver, mesh: Mesh, steps=None, resolution: int = 256,
         return grid.reshape(1, resolution, resolution, resolution)
 
     def wrapper(params, vae_params, keys, labels=None):
-        in_specs = (P(), P(), P("data"), P("data") if labels is not None else None)
         if labels is None:
             fn = shard_map(
                 lambda p, vp, k: local(p, vp, k, None),
@@ -182,7 +181,6 @@ def make_dp_sample(solver, mesh: Mesh, steps=None, resolution: int = 256,
             in_specs=(P(), P(), P("data"), P("data")),
             out_specs=P("data"), check_vma=False,
         )
-        del in_specs
         return fn(params, vae_params, keys, labels)
 
     return jax.jit(wrapper, static_argnames=())
