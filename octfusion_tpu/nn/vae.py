@@ -221,7 +221,7 @@ class GraphVAE(nn.Module):
         return g.spec.edge_factor
 
     def extract_code(self, g_in: DualGraph, sample_key):
-        """(z, g_in) for diffusion training
-        (`graph_vae.py:291-298`)."""
+        """Sampled latent codes on the level-``depth_stop`` layout for
+        diffusion training (`graph_vae.py:291-298`)."""
         mean, logvar = self.encode(g_in)
         return distributions.sample(sample_key, mean, logvar)
