@@ -203,7 +203,11 @@ def main():
         if cfg.diffusion.num_classes is not None:
             label = jnp.full((1,), category_5_to_label[args.category],
                              jnp.int32)
-        for i in range(args.count):
+        # per-process index striping (`train.py:166-177` in the reference):
+        # result i is produced by process i % world, seeds keyed by i so each
+        # sample is independently reproducible (`octfusion_model_union.py:372`)
+        rank, world = jax.process_index(), jax.process_count()
+        for i in range(rank, args.count, world):
             k = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
             path = os.path.join(run_dir, f"results_{args.category}", f"{i}.obj")
             if args.model == "vae":
