@@ -135,6 +135,83 @@ def _sdf_grid_hier(reg_levels, octree, full_depth, depth_end, size, bbmin,
     return fine.astype(jnp.float16)
 
 
+def _near_cap(size: int, near_frac: float, max_batch: int) -> int:
+    half = size // 2
+    cap = max(int(size**3 * near_frac) // max_batch, 1) * max_batch
+    return min(cap, half**3 * 8)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("full_depth", "depth_end", "size", "max_batch", "bsz",
+                     "near_frac"),
+)
+def _sdf_grid_hier_packed(reg_levels, octree, full_depth, depth_end, size,
+                          bbmin, bbmax, max_batch, bsz, near_frac=0.125):
+    """Like _sdf_grid_hier but returns (coarse [B, half^3] fp16,
+    refined vals [B, near_cap] fp16) — the host reproduces the deterministic
+    coarse-cell selection and reassembles the fine grid, cutting the
+    device->host transfer ~4x (it rides a slow tunnel here)."""
+    half = size // 2
+    coarse = _sdf_grid(
+        reg_levels, octree, full_depth, depth_end, half, bbmin, bbmax,
+        max_batch, bsz,
+    )
+    near_cap = _near_cap(size, near_frac, max_batch)
+    n_coarse = near_cap // 8
+    corder = jnp.argsort(
+        jnp.abs(coarse.astype(jnp.float32)), axis=1, stable=True
+    )[:, :n_coarse]
+    order = _expand_children(corder, half, size)
+    tables = {
+        dd: octree.lookup_table(dd)
+        for dd in range(full_depth, depth_end + 1)
+    }
+
+    def refine(args):
+        b, c = args
+        idx = jax.lax.dynamic_slice(order[b], (c * max_batch,), (max_batch,))
+        x = idx // (size * size)
+        y = (idx // size) % size
+        z = idx % size
+        pos = jnp.stack([x, y, z], -1).astype(jnp.float32)
+        pos = pos * ((bbmax - bbmin) / size) + bbmin
+        pb = jnp.full((max_batch,), b, jnp.int32)
+        sdf, _ = mpu_ops.mpu_eval(
+            pos, pb, reg_levels, octree, full_depth, depth_end,
+            tables=tables,
+        )
+        return sdf.astype(jnp.float16)
+
+    n_chunks = near_cap // max_batch
+    bs = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), n_chunks)
+    cs = jnp.tile(jnp.arange(n_chunks, dtype=jnp.int32), bsz)
+    vals = jax.lax.map(refine, (bs, cs)).reshape(bsz, near_cap)
+    return coarse, vals
+
+
+def _expand_children(corder, half, size):
+    """coarse flat ids [B, n] -> their 8 children's fine flat ids [B, 8n]."""
+    cx = corder // (half * half)
+    cy = (corder // half) % half
+    cz = corder % half
+    oct_off = jnp.arange(8, dtype=corder.dtype)
+    ox, oy, oz = (oct_off >> 2) & 1, (oct_off >> 1) & 1, oct_off & 1
+    fx = (2 * cx[..., None] + ox).reshape(corder.shape[0], -1)
+    fy = (2 * cy[..., None] + oy).reshape(corder.shape[0], -1)
+    fz = (2 * cz[..., None] + oz).reshape(corder.shape[0], -1)
+    return (fx * size + fy) * size + fz
+
+
+def _host_upsample2(coarse: np.ndarray, size: int) -> np.ndarray:
+    """Host trilinear 2x upsample matching jax.image.resize('trilinear')
+    closely enough for far-from-surface cells (near-surface cells are
+    overwritten with exact values)."""
+    from scipy.ndimage import zoom
+
+    return zoom(coarse, 2.0, order=1, grid_mode=True, mode="nearest")
+
+
 def calc_sdf(
     reg_levels: Dict[int, jnp.ndarray],
     octree: Octree,
@@ -150,16 +227,34 @@ def calc_sdf(
 ) -> np.ndarray:
     """[B, size, size, size] SDF values (float32 on host, fp16 transfer)."""
     if hierarchical and size >= 2 * round(max_batch ** (1 / 3)):
-        out = _sdf_grid_hier(
+        half = size // 2
+        coarse, vals = _sdf_grid_hier_packed(
             reg_levels, octree, full_depth, depth_end, size,
             jnp.float32(bbmin), jnp.float32(bbmax), max_batch, batch_size,
             near_frac=near_frac,
         )
-    else:
-        out = _sdf_grid(
-            reg_levels, octree, full_depth, depth_end, size,
-            jnp.float32(bbmin), jnp.float32(bbmax), max_batch, batch_size,
-        )
+        coarse = np.asarray(coarse).astype(np.float32)
+        vals = np.asarray(vals).astype(np.float32)
+        near_cap = _near_cap(size, near_frac, max_batch)
+        n_coarse = near_cap // 8
+        out = np.empty((batch_size, size, size, size), np.float32)
+        for b in range(batch_size):
+            cb = coarse[b]
+            # reproduce the device's stable selection exactly (same fp16
+            # values, stable argsort on both sides)
+            corder = np.argsort(np.abs(cb), kind="stable")[:n_coarse]
+            order = np.asarray(
+                _expand_children(jnp.asarray(corder[None]), half, size)
+            )[0]
+            fine = _host_upsample2(cb.reshape(half, half, half), size)
+            fine = fine.reshape(-1)
+            fine[order] = vals[b]
+            out[b] = fine.reshape(size, size, size)
+        return out
+    out = _sdf_grid(
+        reg_levels, octree, full_depth, depth_end, size,
+        jnp.float32(bbmin), jnp.float32(bbmax), max_batch, batch_size,
+    )
     return np.asarray(out).astype(np.float32).reshape(
         batch_size, size, size, size
     )
