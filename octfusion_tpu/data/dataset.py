@@ -185,6 +185,67 @@ class SyntheticDataset:
         }
 
 
+def octree_node_counts(points: np.ndarray, depth: int,
+                       full_depth: int) -> Dict[int, int]:
+    """Host-side per-depth *allocated* node counts for a point cloud in
+    [-1, 1]^3 — the numbers ``build_octree`` will produce (depth d > full
+    allocates 8 children per occupied node of d-1; see
+    `octree/octree.py` layout invariants)."""
+    size = 2 ** depth
+    xyz = np.clip(
+        np.floor((points + 1.0) * (size / 2.0)).astype(np.int64), 0, size - 1
+    )
+    counts = {}
+    for d in range(depth, full_depth, -1):
+        shift = depth - (d - 1)
+        parent = (
+            (xyz[:, 0] >> shift) << (2 * (d - 1))
+            | (xyz[:, 1] >> shift) << (d - 1)
+            | (xyz[:, 2] >> shift)
+        )
+        counts[d] = 8 * len(np.unique(parent))
+    return counts
+
+
+def fits_capacity(points: np.ndarray, spec) -> bool:
+    """True iff a single-sample octree built from ``points`` fits the static
+    per-depth capacities of ``spec`` (an :class:`OctreeSpec`, batch 1)."""
+    counts = octree_node_counts(points, spec.depth, spec.full_depth)
+    return all(counts[d] <= spec.node_caps[d]
+               for d in range(spec.full_depth + 1, spec.depth + 1))
+
+
+class CapacityFilteredDataset:
+    """Wrapper that skips samples whose octree would overflow the static
+    capacities (the loader-side consumer of the overflow contract at
+    `octree/octree.py:113-116`); the device-side flags remain the backstop
+    for anything this pre-check cannot see (edge caps)."""
+
+    def __init__(self, base, spec, max_probe: int = 64):
+        self.base = base
+        self.spec = spec
+        self.max_probe = max_probe
+        self._warned = set()
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, idx: int) -> Dict:
+        n = len(self.base)
+        for k in range(min(self.max_probe, n)):
+            s = self.base[(idx + k) % n]
+            if "points" not in s or fits_capacity(s["points"], self.spec):
+                return s
+            fn = s.get("filename", (idx + k) % n)
+            if fn not in self._warned:
+                self._warned.add(fn)
+                print(f"[warn] sample {fn} exceeds octree capacity; skipped")
+        raise RuntimeError(
+            f"{self.max_probe} consecutive samples exceed the octree "
+            f"capacities {self.spec.node_caps}; raise capacity.finest_cap"
+        )
+
+
 def collate(samples: List[Dict]) -> Dict:
     """Stack per-sample dicts into fixed-shape batch arrays."""
     out = {

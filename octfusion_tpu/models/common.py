@@ -38,7 +38,7 @@ def batch_to_octree(
 
 
 def batch_to_graph(
-    points, normals, spec_single: OctreeSpec, edge_factor: int = 10,
+    points, normals, spec_single: OctreeSpec, edge_factor: int = 9,
     up_to: Optional[int] = None,
 ):
     octree = batch_to_octree(points, normals, spec_single)

@@ -124,7 +124,8 @@ class Union3TSolver(UnionSolver):
                 key, x, lvl.node_batch, b, self.log_snr,
                 self.df_type["hr"], mask=lvl.node_mask,
             )
-            return loss, {"loss": loss}
+            return loss, {"loss": loss,
+                          "overflow": g.any_overflow().astype(jnp.float32)}
         # feature stage: VAE codes on the depth-code_depth graph with the
         # frozen hr U-Net as middle (`octfusion_model_union_3t.py:144-148`)
         octree, g = batch_to_graph(
@@ -142,7 +143,8 @@ class Union3TSolver(UnionSolver):
             dkey, code, lvl.node_batch, b, self.log_snr,
             self.df_type["feature"], mask=lvl.node_mask,
         )
-        return loss, {"loss": loss}
+        return loss, {"loss": loss,
+                      "overflow": g.any_overflow().astype(jnp.float32)}
 
     # ------------------------------------------------------------------
     def sample_stage(self, params, key, g, label, depth, channels, unet_type,

@@ -140,14 +140,16 @@ class UnionSolver:
                     batch["points"], batch["normals"], self.spec1
                 )
                 split = split_codec.octree2split_small(octree)
-                del octree
             loss = sampler.diffusion_loss(
                 lambda noised, snr: self.df.apply(
                     params, "lr", noised, snr, label=label
                 ),
                 key, split, None, b, self.log_snr, self.df_type["lr"],
             )
-            return loss, {"loss": loss}
+            ld = {"loss": loss}
+            if "split_small" not in batch:
+                ld["overflow"] = jnp.any(octree.overflow).astype(jnp.float32)
+            return loss, ld
         # hr stage: frozen VAE encode (`octfusion_model_union.py:285-291`)
         b = batch["points"].shape[0]
         octree, g = batch_to_graph(
@@ -168,7 +170,8 @@ class UnionSolver:
             self.df_type["hr"], mask=lvl.node_mask,
         )
         del octree
-        return loss, {"loss": loss}
+        return loss, {"loss": loss,
+                      "overflow": g.any_overflow().astype(jnp.float32)}
 
     def make_train_step(self):
         tx = self.make_optimizer()

@@ -69,6 +69,10 @@ class VAESolver:
             kl_weight=self.cfg.loss.kl_weight,
             loss_type=self.cfg.loss.loss_type,
         )
+        # capacity overflow means nodes/edges were dropped -> the step is
+        # silently wrong; surface it so the train loop can fail loudly
+        # (consumer of the contract at `octree/octree.py:113-116`)
+        ld["overflow"] = g.any_overflow().astype(jnp.float32)
         del octree
         return ld["loss"], ld
 

@@ -73,11 +73,13 @@ class GraphSpec:
     """Static layout of the dual graph derived from an :class:`OctreeSpec`.
 
     ``edge_factor`` bounds edges per graph vertex (the dual graph averages
-    ~7; overflow is flagged, not silent).
+    ~7; overflow is flagged, not silent).  The default matches
+    ``CapacityConfig.edge_factor`` so library callers bypassing Config get
+    the same static shapes.
     """
 
     ospec: OctreeSpec
-    edge_factor: int = 10
+    edge_factor: int = 9
 
     @property
     def depth(self) -> int:
@@ -133,6 +135,9 @@ class GraphLevel(struct.PyTreeNode):
     node_slot: jnp.ndarray   # int32 [G]: slot in that depth's octree arrays
     n_nodes: jnp.ndarray     # int32
     overflow: jnp.ndarray    # bool — edge capacity exceeded
+    # optional fused-conv descriptor plan (ops/pallas/graph_conv_plan.py);
+    # None -> graph_conv uses the XLA segment-sum path
+    conv_plan: object = None
 
     @property
     def g_cap(self) -> int:
@@ -176,6 +181,15 @@ class DualGraph(struct.PyTreeNode):
 
     def level(self, d: int) -> GraphLevel:
         return self.levels[d - self.spec.full_depth]
+
+    def any_overflow(self) -> jnp.ndarray:
+        """True if the octree or any built level hit a static capacity
+        (node caps or edge caps).  Consumers must check this — overflow
+        means trailing nodes/edges were silently dropped."""
+        ovf = jnp.any(self.octree.overflow)
+        for lvl in self.levels:
+            ovf = ovf | lvl.overflow
+        return ovf
 
 
 # ----------------------------------------------------------------------
@@ -488,7 +502,7 @@ def finalize_level(
 
 
 def build_dual_graph(
-    octree: Octree, edge_factor: int = 10, up_to: int = None
+    octree: Octree, edge_factor: int = 9, up_to: int = None
 ) -> DualGraph:
     """Build dual graphs for levels full_depth..``up_to`` (default: depth)
     (``DualOctree(octree); post_processing_for_docnn()``)."""
@@ -522,6 +536,29 @@ def build_dual_graph(
         leaf_pos=tuple(leaf_pos),
         lnum=lnum_arr,
     )
+
+
+def with_conv_plans(
+    g: DualGraph, tile_t: int = 128, desc_factor: int = 56,
+    depths=None,
+) -> DualGraph:
+    """Attach fused-conv descriptor plans (built once per shape, reused by
+    every conv of every sampling step) to the given ``depths`` (default:
+    all built levels).  ``graph_ops.graph_conv`` switches to the Pallas
+    kernel wherever a plan is present."""
+    from ..ops.pallas.graph_conv_plan import build_conv_plan
+
+    levels = []
+    for lvl in g.levels:
+        if depths is None or lvl.d in depths:
+            levels.append(
+                lvl.replace(
+                    conv_plan=build_conv_plan(lvl, tile_t, desc_factor)
+                )
+            )
+        else:
+            levels.append(lvl)
+    return g.replace(levels=tuple(levels))
 
 
 def extend_dual_graph(g: DualGraph, octree: Octree) -> DualGraph:

@@ -41,6 +41,8 @@ def graph_conv(
         onehot = jax.nn.one_hot(lvl.node_type, n_node_type, dtype=x.dtype)
         onehot = onehot * lvl.node_mask[:, None].astype(x.dtype)
         x = jnp.concatenate([x, onehot], axis=-1)
+    if lvl.conv_plan is not None:
+        return _graph_conv_fused(x, w, lvl.conv_plan)
     c = x.shape[1]
     gathered = x[jnp.clip(lvl.edge_col, 0, g - 1)]
     gathered = gathered * lvl.edge_scale[:, None].astype(x.dtype)
@@ -54,6 +56,28 @@ def graph_conv(
     )
     col = col.reshape(g, N_EDGE_TYPE * c)
     return jnp.dot(col, w, preferred_element_type=x.dtype)
+
+
+def _graph_conv_fused(x: jnp.ndarray, w: jnp.ndarray, plan) -> jnp.ndarray:
+    """Dispatch to the fused Pallas kernel, padding channels to lane
+    multiples (the kernel slices by ``dir * C``).  Interpret mode off-TPU
+    keeps CPU tests runnable."""
+    from .pallas.graph_conv_kernel import graph_conv_fused
+
+    interpret = jax.default_backend() != "tpu"
+    c = x.shape[1]
+    cout = w.shape[1]
+    cp = -(-c // 128) * 128
+    cop = -(-cout // 128) * 128
+    if cp != c:
+        x = jnp.pad(x, ((0, 0), (0, cp - c)))
+        w = w.reshape(N_EDGE_TYPE, c, cout)
+        w = jnp.pad(w, ((0, 0), (0, cp - c), (0, 0)))
+        w = w.reshape(N_EDGE_TYPE * cp, cout)
+    if cop != cout:
+        w = jnp.pad(w, ((0, 0), (0, cop - cout)))
+    out = graph_conv_fused(x, w, plan, interpret)
+    return out[:, :cout] if cop != cout else out
 
 
 def dual_group_norm(

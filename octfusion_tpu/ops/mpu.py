@@ -126,6 +126,106 @@ def mpu_eval(
     return num / (den + 1e-8), covered
 
 
+# ----------------------------------------------------------------------
+# dense-grid evaluation as separable trilinear resampling
+# ----------------------------------------------------------------------
+# For queries on a REGULAR grid the corner search is unnecessary: the 8
+# corner nodes of a query at depth dd form the surrounding lattice cell in
+# the depth-dd dense voxel grid, and the corner weights Π(1-|Δ|) are exactly
+# trilinear interpolation weights.  Expanding fval = n·Δx + b:
+#
+#   Σ_c w m (n·Δx + b) = (2/S)·( xyzf · T[m n] - T[m (n·c)] ) + T[m b]
+#   Σ_c w m            = T[m]
+#
+# where T[·] is trilinear interpolation of a per-node dense channel at the
+# continuous coordinate xyzf (affine in the grid index), c the node's integer
+# coordinates, m the (leaf/valid · depth²/50) weight mask.  This turns the
+# reference's millions of per-corner key searches + gathers
+# (`utils/util_dualoctree.py:99-118` -> `mpu.py:55-94`) into six dense
+# scatter-once channels per depth plus three axis-separable lerps — pure
+# bandwidth/MXU work, no pointwise gathers (the measured 8 ns/row wall).
+
+
+def mpu_dense_channels(reg: jnp.ndarray, octree: Octree, dd: int,
+                       leaf_only: bool) -> jnp.ndarray:
+    """Scatter per-node MPU channels into a dense [B, S, S, S, 6] grid.
+
+    Channels: [m·nx, m·ny, m·nz, m·(n·c), m·b, m] with
+    m = valid(·leaf) · dd²/50."""
+    s = 2**dd
+    bsz = octree.batch_size
+    x, y, z, b = octree.xyzb(dd)
+    m = octree.node_mask(dd)
+    if leaf_only:
+        m = m & (octree.child[dd] < 0)
+    n = reg[:, :3]
+    bias = reg[:, 3:4]
+    coords = jnp.stack([x, y, z], -1).astype(jnp.float32)
+    ndotc = jnp.sum(n * coords, axis=-1, keepdims=True)
+    ones = jnp.ones_like(bias)
+    ch = jnp.concatenate([n, ndotc, bias, ones], axis=-1)
+    ch = ch * (m.astype(jnp.float32) * (dd * dd / 50.0))[:, None]
+    bt = jnp.where(m, b, bsz)
+    grid = jnp.zeros((bsz, s, s, s, 6), jnp.float32)
+    return grid.at[bt, x, y, z].set(
+        jnp.where(m[:, None], ch, 0.0), mode="drop"
+    )
+
+
+def _lerp_axis(arr: jnp.ndarray, xf: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """1-D linear interpolation of ``arr`` along ``axis`` at positions
+    ``xf`` (in input-index units).  Out-of-range taps contribute zero —
+    matching the MPU's ``inb`` corner test."""
+    s = arr.shape[axis]
+    i0 = jnp.floor(xf).astype(jnp.int32)
+    f = xf - i0
+    v0 = (i0 >= 0) & (i0 < s)
+    v1 = (i0 + 1 >= 0) & (i0 + 1 < s)
+    t0 = jnp.take(arr, jnp.clip(i0, 0, s - 1), axis=axis)
+    t1 = jnp.take(arr, jnp.clip(i0 + 1, 0, s - 1), axis=axis)
+    shape = [1] * arr.ndim
+    shape[axis] = xf.shape[0]
+    w0 = ((1.0 - f) * v0).reshape(shape)
+    w1 = (f * v1).reshape(shape)
+    return t0 * w0 + t1 * w1
+
+
+def mpu_grid_eval(
+    reg_levels: Dict[int, jnp.ndarray],
+    octree: Octree,
+    full_depth: int,
+    depth_end: int,
+    size: int,
+    bbmin: float,
+    bbmax: float,
+) -> jnp.ndarray:
+    """SDF of the MPU on a regular ``size``³ grid over [bbmin, bbmax]³
+    (grid point i at bbmin + i·(bbmax-bbmin)/size, matching
+    ``utils/sdf.grid_points``).  Returns [B, size, size, size] float32."""
+    bsz = octree.batch_size
+    step = (bbmax - bbmin) / size
+    idx = jnp.arange(size, dtype=jnp.float32)
+    num = jnp.zeros((bsz, size, size, size), jnp.float32)
+    den = jnp.zeros((bsz, size, size, size), jnp.float32)
+    for dd in range(full_depth, depth_end + 1):
+        s = 2**dd
+        dense = mpu_dense_channels(
+            reg_levels[dd], octree, dd, leaf_only=dd < depth_end
+        )
+        # xyzf = (p+1)·S/2 - 0.5 with p = i·step + bbmin
+        xf = (idx * step + bbmin + 1.0) * (s / 2.0) - 0.5
+        t = _lerp_axis(dense, xf, axis=1)
+        t = _lerp_axis(t, xf, axis=2)
+        t = _lerp_axis(t, xf, axis=3)           # [B, R, R, R, 6]
+        xg = xf[:, None, None]
+        yg = xf[None, :, None]
+        zg = xf[None, None, :]
+        ndotx = t[..., 0] * xg + t[..., 1] * yg + t[..., 2] * zg
+        num = num + (2.0 / s) * (ndotx - t[..., 3]) + t[..., 4]
+        den = den + t[..., 5]
+    return num / (den + 1e-8)
+
+
 def neural_mpu(
     pos: jnp.ndarray,
     pt_batch: jnp.ndarray,

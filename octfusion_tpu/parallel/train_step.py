@@ -158,14 +158,13 @@ def make_dp_sample(solver, mesh: Mesh, steps=None, resolution: int = 256,
         out = solver.vae.apply(
             vae_params, code, g, method=GraphVAE.decode_grow
         )
-        max_batch = min(64**3, max(resolution**3 // 8, 512))
-        grid = sdf_utils._sdf_grid_hier(
+        from ..ops import mpu as mpu_ops
+
+        grid = mpu_ops.mpu_grid_eval(
             out["reg_voxs"][m.depth_out], out["octree_out"],
             m.full_depth, m.depth_out, resolution,
-            jnp.float32(-solver.cfg.solver.sdf_scale),
-            jnp.float32(solver.cfg.solver.sdf_scale),
-            max_batch, 1, near_frac=near_frac,
-        )
+            -solver.cfg.solver.sdf_scale, solver.cfg.solver.sdf_scale,
+        ).astype(jnp.float16)
         return grid.reshape(1, resolution, resolution, resolution)
 
     def wrapper(params, vae_params, keys, labels=None):

@@ -21,22 +21,62 @@ def make_batch(n, m=256, p=2048):
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_vae_dp_sp_step_matches_single_device():
+    """The DP+SP sharded step must produce the same loss and updated params
+    as the equivalent single-device computation: averaging per-(data, model)
+    shard losses/grads computed with the same folded keys and batch slices."""
     cfg = tiny_config()
     solver = VAESolver(cfg)
     key = jax.random.PRNGKey(0)
-    batch = make_batch(4, m=256)
+    n_data, n_model, m = 4, 2, 256
+    batch = make_batch(n_data, m=m)
     jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "filename"}
     state = solver.init_state(key, {k: v[:1] for k, v in jb.items()}, 100)
 
-    mesh = make_mesh(data=4, model=2)
+    mesh = make_mesh(data=n_data, model=n_model)
     step = pts.make_vae_dp_train_step(solver, mesh, total_steps=100)
     sb = pts.shard_batch(batch, mesh, vae=True)
     state2, ld = step(state, sb, key)
-    assert np.isfinite(float(ld["loss"]))
     assert int(state2.step) == 1
-    # params identical across devices (replicated update)
-    leaf = jax.tree_util.tree_leaves(state2.params)[0]
-    assert bool(jnp.isfinite(leaf).all())
+
+    # single-device reference: replay every shard's local computation with
+    # the same folded key and batch slice, average losses and grads
+    import optax
+
+    msz = m // n_model
+    losses, grads_acc = [], None
+    grad_fn = jax.jit(jax.value_and_grad(solver.loss_fn, has_aux=True))
+    for di in range(n_data):
+        for mi in range(n_model):
+            lb = {
+                "points": jb["points"][di:di + 1],
+                "normals": jb["normals"][di:di + 1],
+                "label": jb["label"][di:di + 1],
+                "pos": jb["pos"][di:di + 1, mi * msz:(mi + 1) * msz],
+                "sdf": jb["sdf"][di:di + 1, mi * msz:(mi + 1) * msz],
+                "grad": jb["grad"][di:di + 1, mi * msz:(mi + 1) * msz],
+            }
+            fk = jax.random.fold_in(jax.random.fold_in(key, di), mi)
+            (loss, _), grads = grad_fn(state.params, lb, fk)
+            losses.append(loss)
+            grads_acc = grads if grads_acc is None else jax.tree_util.tree_map(
+                jnp.add, grads_acc, grads
+            )
+    n_shards = n_data * n_model
+    ref_loss = float(np.mean([float(x) for x in losses]))
+    mean_grads = jax.tree_util.tree_map(lambda g: g / n_shards, grads_acc)
+    opt = solver.make_optimizer(100)
+    updates, _ = opt.update(mean_grads, state.opt_state, state.params)
+    ref_params = optax.apply_updates(state.params, updates)
+
+    assert np.isfinite(ref_loss)
+    np.testing.assert_allclose(float(ld["loss"]), ref_loss, rtol=2e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state2.params),
+        jax.tree_util.tree_leaves(ref_params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")

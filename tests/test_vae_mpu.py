@@ -233,12 +233,42 @@ def test_sdf_grid_hierarchical_matches_dense():
         reg[dd] = jnp.asarray(r)
     size = 64
     dense = sdf_utils.calc_sdf(
-        reg, o, fd, depth, 1, size=size, max_batch=32**3, hierarchical=False
+        reg, o, fd, depth, 1, size=size, max_batch=32**3, mode="gather",
+        hierarchical=False,
     )
     hier = sdf_utils.calc_sdf(
-        reg, o, fd, depth, 1, size=size, max_batch=32**3, hierarchical=True,
-        near_frac=0.25,
+        reg, o, fd, depth, 1, size=size, max_batch=32**3, mode="gather",
+        hierarchical=True, near_frac=0.25,
     )
     near = np.abs(dense) < 0.04
     assert near.sum() > 100
     np.testing.assert_allclose(hier[near], dense[near], atol=2e-3)
+
+
+def test_mpu_grid_eval_matches_gather_path():
+    """The dense-resampling grid evaluator must agree with the per-query
+    gather path (mpu_eval) — same corners, weights, and boundary handling."""
+    o = make_octree(seed=11, n=220, batch=2)
+    fd, depth = o.spec.full_depth, o.spec.depth
+    rng = np.random.RandomState(3)
+    reg = {
+        dd: jnp.asarray(
+            rng.normal(size=(o.spec.node_caps[dd], 4)).astype(np.float32)
+        )
+        for dd in range(fd, depth + 1)
+    }
+    size, bbmin, bbmax = 17, -0.93, 0.91  # odd size, asymmetric box
+    grid = mpu_ops.mpu_grid_eval(reg, o, fd, depth, size, bbmin, bbmax)
+    assert grid.shape == (2, size, size, size)
+
+    # gather-path oracle on the same grid points
+    coord = np.arange(size, dtype=np.float32) * ((bbmax - bbmin) / size) + bbmin
+    g = np.stack(np.meshgrid(coord, coord, coord, indexing="ij"), -1)
+    pos = jnp.asarray(g.reshape(-1, 3))
+    for b in range(2):
+        pb = jnp.full((pos.shape[0],), b, jnp.int32)
+        ref, _ = mpu_ops.mpu_eval(pos, pb, reg, o, fd, depth)
+        np.testing.assert_allclose(
+            np.asarray(grid[b]).reshape(-1), np.asarray(ref),
+            rtol=1e-4, atol=1e-5,
+        )

@@ -101,6 +101,13 @@ def main():
     # data
     # ------------------------------------------------------------------
     dataset = get_dataset(cfg.data)
+    if args.mode == "train":
+        # reject samples that would overflow the static octree capacities
+        # before they poison a step (`octree/octree.py:113-116` contract)
+        from octfusion_tpu.data.dataset import CapacityFilteredDataset
+
+        spec1 = cfg.capacity.octree_spec(cfg.model.depth, cfg.model.full_depth)
+        dataset = CapacityFilteredDataset(dataset, spec1)
     global_batch = cfg.data.batch_size
     if args.mode == "train" and n_dev > 1:
         # global batch must divide over the data axis
@@ -249,6 +256,13 @@ def main():
         if is_main and it % cfg.train.print_freq == 0:
             dt = (time.time() - t0) / max(it - start + 1, 1)
             vis.print_current_errors(it, {k2: v for k2, v in ld.items()}, dt)
+            if float(ld.get("overflow", 0.0)) > 0:
+                raise RuntimeError(
+                    "octree/graph capacity overflow during training: nodes "
+                    "or edges were dropped, the step is wrong.  Raise "
+                    "capacity.finest_cap / capacity.edge_factor in the "
+                    "config (see octree/octree.py overflow contract)."
+                )
         if args.profile and it == prof_until:
             jax.block_until_ready(jax.tree_util.tree_leaves(state.params)[0])
             jax.profiler.stop_trace()
