@@ -24,7 +24,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...octree.dual_graph import N_EDGE_TYPE
-from .graph_conv_plan import ConvPlan, build_conv_plan  # noqa: F401 (re-export)
+from .graph_conv_plan import (DESC_BLOCK, ConvPlan,
+                              build_conv_plan)  # noqa: F401 (re-export)
 
 
 def _onehot(offs, scale, flag, t, dtype):
@@ -39,7 +40,7 @@ def _onehot(offs, scale, flag, t, dtype):
 
 def _fwd_kernel(
     # scalar prefetch
-    tile_ref, src_ref, dir_ref, flag_ref, first_ref, last_ref,
+    tile_ref, src_ref, dir_ref, flag_ref, first_ref, last_ref, active_ref,
     # tensor inputs
     offs_ref, scale_ref, x_ref, w_ref,
     # outputs
@@ -48,19 +49,26 @@ def _fwd_kernel(
     col_ref,
     *, t, c, cout,
 ):
-    g = pl.program_id(0)
+    base = pl.program_id(0) * DESC_BLOCK
+    # per-tile descriptor runs are padded to DESC_BLOCK, so "first"/"last"
+    # can only occur at sub-positions 0 / DESC_BLOCK-1
 
-    @pl.when(first_ref[g] == 1)
+    @pl.when(first_ref[base] == 1)
     def _():
         col_ref[...] = jnp.zeros_like(col_ref)
 
-    src = x_ref[pl.ds(src_ref[g] * t, t), :]              # [T, C]
-    m = _onehot(offs_ref[0], scale_ref[0], flag_ref[g], t, src.dtype)
-    part = jnp.dot(m, src, preferred_element_type=jnp.float32)
-    d = dir_ref[g]
-    col_ref[:, pl.ds(d * c, c)] += part
+    for k in range(DESC_BLOCK):
+        g = base + k
 
-    @pl.when(last_ref[g] == 1)
+        @pl.when(active_ref[g] == 1)
+        def _(k=k, g=g):
+            src = x_ref[pl.ds(src_ref[g] * t, t), :].astype(jnp.bfloat16)
+            m = _onehot(offs_ref[k], scale_ref[k], flag_ref[g], t,
+                        jnp.bfloat16)
+            part = jnp.dot(m, src, preferred_element_type=jnp.float32)
+            col_ref[:, pl.ds(dir_ref[g] * c, c)] += part
+
+    @pl.when(last_ref[base + DESC_BLOCK - 1] == 1)
     def _():
         out_ref[...] = jnp.dot(
             col_ref[...].astype(w_ref.dtype), w_ref[...],
@@ -69,59 +77,71 @@ def _fwd_kernel(
 
 
 def _col_kernel(
-    tile_ref, src_ref, dir_ref, flag_ref, first_ref, last_ref,
+    tile_ref, src_ref, dir_ref, flag_ref, first_ref, last_ref, active_ref,
     offs_ref, scale_ref, x_ref,
     out_ref, col_ref, *, t, c,
 ):
     """Forward without the trailing GEMM: outputs the [G_pad, 7C] column
     buffer (used to recompute `col` for the dW backward)."""
-    g = pl.program_id(0)
+    base = pl.program_id(0) * DESC_BLOCK
 
-    @pl.when(first_ref[g] == 1)
+    @pl.when(first_ref[base] == 1)
     def _():
         col_ref[...] = jnp.zeros_like(col_ref)
 
-    src = x_ref[pl.ds(src_ref[g] * t, t), :]
-    m = _onehot(offs_ref[0], scale_ref[0], flag_ref[g], t, src.dtype)
-    part = jnp.dot(m, src, preferred_element_type=jnp.float32)
-    col_ref[:, pl.ds(dir_ref[g] * c, c)] += part
+    for k in range(DESC_BLOCK):
+        g = base + k
 
-    @pl.when(last_ref[g] == 1)
+        @pl.when(active_ref[g] == 1)
+        def _(k=k, g=g):
+            src = x_ref[pl.ds(src_ref[g] * t, t), :]
+            m = _onehot(offs_ref[k], scale_ref[k], flag_ref[g], t, src.dtype)
+            part = jnp.dot(m, src, preferred_element_type=jnp.float32)
+            col_ref[:, pl.ds(dir_ref[g] * c, c)] += part
+
+    @pl.when(last_ref[base + DESC_BLOCK - 1] == 1)
     def _():
         out_ref[...] = col_ref[...].astype(out_ref.dtype)
 
 
 def _bwd_kernel(
-    tile_ref, src_ref, dir_ref, flag_ref, first_ref, last_ref,
+    tile_ref, src_ref, dir_ref, flag_ref, first_ref, last_ref, active_ref,
     offs_ref, scale_ref, dout_ref, w_ref,
     out_ref, acc_ref, *, t, c, cout,
 ):
     """dx via the transpose plan: per descriptor, dcol_d = dout_tile @ W_d^T
     then dx_tile += M @ dcol_d.  Output tile = the plan's (col) tile."""
-    g = pl.program_id(0)
+    base = pl.program_id(0) * DESC_BLOCK
 
-    @pl.when(first_ref[g] == 1)
+    @pl.when(first_ref[base] == 1)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    dout = dout_ref[pl.ds(src_ref[g] * t, t), :]          # [T, Cout]
-    wd = w_ref[pl.ds(dir_ref[g] * c, c), :]               # [C, Cout]
-    dcol = jax.lax.dot_general(
-        dout, wd, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dout.dtype)                                   # [T, C]
-    m = _onehot(offs_ref[0], scale_ref[0], flag_ref[g], t, dcol.dtype)
-    acc_ref[...] += jnp.dot(m, dcol, preferred_element_type=jnp.float32)
+    for k in range(DESC_BLOCK):
+        g = base + k
 
-    @pl.when(last_ref[g] == 1)
+        @pl.when(active_ref[g] == 1)
+        def _(k=k, g=g):
+            dout = dout_ref[pl.ds(src_ref[g] * t, t), :]  # [T, Cout]
+            wd = w_ref[pl.ds(dir_ref[g] * c, c), :]       # [C, Cout]
+            dcol = jax.lax.dot_general(
+                dout, wd, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dout.dtype)                           # [T, C]
+            m = _onehot(offs_ref[k], scale_ref[k], flag_ref[g], t, dcol.dtype)
+            acc_ref[...] += jnp.dot(
+                m, dcol, preferred_element_type=jnp.float32
+            )
+
+    @pl.when(last_ref[base + DESC_BLOCK - 1] == 1)
     def _():
         out_ref[...] = acc_ref[...].astype(out_ref.dtype)
 
 
 def _desc_specs(t):
     return [
-        pl.BlockSpec((1, t), lambda g, *_: (g, 0)),   # offs
-        pl.BlockSpec((1, t), lambda g, *_: (g, 0)),   # scale
+        pl.BlockSpec((DESC_BLOCK, t), lambda g, *_: (g, 0)),   # offs
+        pl.BlockSpec((DESC_BLOCK, t), lambda g, *_: (g, 0)),   # scale
     ]
 
 
@@ -131,14 +151,14 @@ def _run_fwd(plan: ConvPlan, x, w, interpret):
     cout = w.shape[1]
     xp = jnp.pad(x, ((0, plan.g_pad - x.shape[0]), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
-        grid=(plan.d_cap,),
+        num_scalar_prefetch=7,
+        grid=(plan.d_cap // DESC_BLOCK,),
         in_specs=_desc_specs(t) + [
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (t, cout), lambda g, tile, *_: (tile[g], 0)
+            (t, cout), lambda g, tile, *_: (tile[g * DESC_BLOCK], 0)
         ),
         scratch_shapes=[pltpu.VMEM((t, N_EDGE_TYPE * c), jnp.float32)],
     )
@@ -146,10 +166,14 @@ def _run_fwd(plan: ConvPlan, x, w, interpret):
         functools.partial(_fwd_kernel, t=t, c=c, cout=cout),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((plan.g_pad, cout), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
     )(
         plan.f_tile, plan.f_src, plan.f_dir, plan.f_flag, plan.f_first,
-        plan.f_last, plan.f_offs, plan.f_scale, xp, w.astype(x.dtype),
+        plan.f_last, plan.f_active, plan.f_offs, plan.f_scale, xp,
+        w.astype(x.dtype),
     )
     return out[: x.shape[0]]
 
@@ -159,13 +183,13 @@ def _run_col(plan: ConvPlan, x, interpret):
     c = x.shape[1]
     xp = jnp.pad(x, ((0, plan.g_pad - x.shape[0]), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
-        grid=(plan.d_cap,),
+        num_scalar_prefetch=7,
+        grid=(plan.d_cap // DESC_BLOCK,),
         in_specs=_desc_specs(t) + [
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (t, N_EDGE_TYPE * c), lambda g, tile, *_: (tile[g], 0)
+            (t, N_EDGE_TYPE * c), lambda g, tile, *_: (tile[g * DESC_BLOCK], 0)
         ),
         scratch_shapes=[pltpu.VMEM((t, N_EDGE_TYPE * c), jnp.float32)],
     )
@@ -175,10 +199,13 @@ def _run_col(plan: ConvPlan, x, interpret):
         out_shape=jax.ShapeDtypeStruct(
             (plan.g_pad, N_EDGE_TYPE * c), x.dtype
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
     )(
         plan.f_tile, plan.f_src, plan.f_dir, plan.f_flag, plan.f_first,
-        plan.f_last, plan.f_offs, plan.f_scale, xp,
+        plan.f_last, plan.f_active, plan.f_offs, plan.f_scale, xp,
     )
 
 
@@ -187,14 +214,14 @@ def _run_bwd(plan: ConvPlan, dout, w, c, interpret):
     cout = w.shape[1]
     dp = jnp.pad(dout, ((0, plan.g_pad - dout.shape[0]), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
-        grid=(plan.d_cap,),
+        num_scalar_prefetch=7,
+        grid=(plan.d_cap // DESC_BLOCK,),
         in_specs=_desc_specs(t) + [
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (t, c), lambda g, tile, *_: (tile[g], 0)
+            (t, c), lambda g, tile, *_: (tile[g * DESC_BLOCK], 0)
         ),
         scratch_shapes=[pltpu.VMEM((t, c), jnp.float32)],
     )
@@ -202,10 +229,14 @@ def _run_bwd(plan: ConvPlan, dout, w, c, interpret):
         functools.partial(_bwd_kernel, t=t, c=c, cout=cout),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((plan.g_pad, c), dout.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
     )(
         plan.b_tile, plan.b_src, plan.b_dir, plan.b_flag, plan.b_first,
-        plan.b_last, plan.b_offs, plan.b_scale, dp, w.astype(dout.dtype),
+        plan.b_last, plan.b_active, plan.b_offs, plan.b_scale, dp,
+        w.astype(dout.dtype),
     )
 
 

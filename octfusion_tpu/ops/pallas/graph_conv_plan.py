@@ -33,6 +33,14 @@ from ...octree.dual_graph import GraphLevel, N_EDGE_TYPE
 
 TILE = 128
 MAX_LAYERS = 64  # key-packing bound for slot layers (4^k in theory)
+DESC_BLOCK = 32  # descriptors per kernel grid step (amortises per-step DMA)
+
+
+def _final_cap(d_cap: int, r_tiles: int) -> int:
+    """Static descriptor-array length: requested capacity + worst-case
+    per-tile run padding, rounded to DESC_BLOCK."""
+    df = d_cap + r_tiles * (DESC_BLOCK - 1) + r_tiles * DESC_BLOCK
+    return -(-df // DESC_BLOCK) * DESC_BLOCK
 
 
 class ConvPlan(struct.PyTreeNode):
@@ -60,6 +68,8 @@ class ConvPlan(struct.PyTreeNode):
     b_last: jnp.ndarray
     b_offs: jnp.ndarray
     b_scale: jnp.ndarray
+    f_active: jnp.ndarray  # int32 [D] 1 = real descriptor (pads skipped)
+    b_active: jnp.ndarray
     overflow: jnp.ndarray  # bool — descriptor capacity exceeded
 
 
@@ -137,8 +147,7 @@ def _build_side(r, c, d, s, valid, g, t, r_tiles, d_cap):
     rank = jnp.cumsum(new.astype(jnp.int32)) - 1
     n_real = jnp.sum(new.astype(jnp.int32))
 
-    # reserve r_tiles slots for the mandatory per-tile dummies
-    n_desc_slots = d_cap - r_tiles
+    n_desc_slots = d_cap
     overflow = layer_ovf | (n_real > n_desc_slots)
     didx = jnp.where(valids, jnp.clip(rank, 0, n_desc_slots - 1), n_desc_slots)
 
@@ -175,41 +184,66 @@ def _build_side(r, c, d, s, valid, g, t, r_tiles, d_cap):
         jnp.where(valids, s[order], 0.0), mode="drop"
     )[:-1].reshape(n_desc_slots, t)
 
-    # append per-tile dummies (guarantee every out tile is visited/written)
-    dummy_tile = jnp.arange(r_tiles, dtype=jnp.int32)
-    tile_all = jnp.concatenate([desc_tile, dummy_tile])
-    src_all = jnp.concatenate([desc_src, jnp.zeros((r_tiles,), jnp.int32)])
-    dir_all = jnp.concatenate([desc_dir, jnp.zeros((r_tiles,), jnp.int32)])
-    flag_all = jnp.concatenate([desc_flag, jnp.zeros((r_tiles,), jnp.int32)])
-    offs_all = jnp.concatenate(
-        [offs, jnp.full((r_tiles, t), -1, jnp.int32)]
+    # Lay descriptors out in per-tile runs padded to multiples of
+    # DESC_BLOCK (the kernel processes DESC_BLOCK descriptors per grid step
+    # and Mosaic block shapes need an 8-divisible sublane dim), every tile
+    # getting at least one run (so its output block is always written).
+    db = DESC_BLOCK
+    d_final = _final_cap(d_cap, r_tiles)
+    real = jnp.arange(n_desc_slots) < n_real
+    counts = jnp.zeros((r_tiles,), jnp.int32).at[
+        jnp.where(real, desc_tile, r_tiles)
+    ].add(1, mode="drop")
+    padded = jnp.maximum(-(-counts // db), 1) * db
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)]
     )
-    scale_all = jnp.concatenate([scale, jnp.zeros((r_tiles, t), jnp.float32)])
-    # real descriptors beyond n_real are padding: force their tile to last
-    is_real = jnp.concatenate(
-        [jnp.arange(n_desc_slots) < n_real, jnp.ones((r_tiles,), bool)]
-    )
-    tile_all = jnp.where(is_real, tile_all, r_tiles - 1)
+    overflow = overflow | (starts[-1] > d_final)
 
-    # sort by out tile (stable keeps dummies after real descriptors of the
-    # same tile — irrelevant, any order within a tile works)
-    order2 = jnp.argsort(tile_all, stable=True)
-    tile_all = tile_all[order2]
-    src_all = src_all[order2]
-    dir_all = dir_all[order2]
-    flag_all = flag_all[order2]
-    offs_all = offs_all[order2]
-    scale_all = scale_all[order2]
-    first = jnp.concatenate(
-        [jnp.ones((1,), jnp.int32),
-         (tile_all[1:] != tile_all[:-1]).astype(jnp.int32)]
+    # rank within tile (descriptors are produced sorted by dkey, hence by
+    # tile already)
+    idx = jnp.arange(n_desc_slots, dtype=jnp.int32)
+    tfirst = jnp.concatenate(
+        [jnp.ones((1,), bool), desc_tile[1:] != desc_tile[:-1]]
+    ) & real
+    rstart = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(tfirst, idx, -1)
     )
-    last = jnp.concatenate(
-        [(tile_all[1:] != tile_all[:-1]).astype(jnp.int32),
-         jnp.ones((1,), jnp.int32)]
+    rank = idx - rstart
+    new_pos = jnp.where(
+        real, starts[jnp.clip(desc_tile, 0, r_tiles - 1)] + rank, d_final
     )
-    return (tile_all, src_all, dir_all, flag_all, first, last, offs_all,
-            scale_all, overflow)
+    new_pos = jnp.where(new_pos < d_final, new_pos, d_final)
+
+    def place(vals, fill, width=None):
+        if width is None:
+            out = jnp.full((d_final + 1,), fill, vals.dtype)
+            return out.at[new_pos].set(vals, mode="drop")[:-1]
+        out = jnp.full(((d_final + 1) * width,), fill, vals.dtype)
+        flat = jnp.where(
+            new_pos[:, None] < d_final,
+            new_pos[:, None] * width + jnp.arange(width)[None, :],
+            d_final * width,
+        )
+        return out.at[flat.reshape(-1)].set(
+            vals.reshape(-1), mode="drop"
+        )[:-width].reshape(d_final, width)
+
+    pos = jnp.arange(d_final, dtype=jnp.int32)
+    tile_of_pos = jnp.clip(
+        jnp.searchsorted(starts, pos, side="right") - 1, 0, r_tiles - 1
+    ).astype(jnp.int32)
+    src_all = place(desc_src, 0)
+    dir_all = place(desc_dir, 0)
+    flag_all = place(desc_flag, 0)
+    active = place(jnp.ones((n_desc_slots,), jnp.int32), 0)
+    offs_all = place(offs, -1, width=t)
+    scale_all = place(scale, 0.0, width=t)
+    first = (pos == starts[tile_of_pos]).astype(jnp.int32)
+    nxt = jnp.minimum(starts[jnp.clip(tile_of_pos + 1, 0, r_tiles)], d_final)
+    last = (pos == nxt - 1).astype(jnp.int32)
+    return (tile_of_pos, src_all, dir_all, flag_all, first, last, offs_all,
+            scale_all, active, overflow)
 
 
 @partial(jax.jit, static_argnames=("tile_t", "desc_factor"))
@@ -220,7 +254,7 @@ def build_conv_plan(
     g = lvl.g_cap
     t = tile_t
     r_tiles = -(-g // t)
-    d_cap = r_tiles * desc_factor + r_tiles  # + per-tile dummies
+    d_cap = r_tiles * desc_factor
 
     row = lvl.edge_row
     col = lvl.edge_col
@@ -232,12 +266,13 @@ def build_conv_plan(
     b = _build_side(col, row, dirs, lvl.edge_scale, valid, g, t, r_tiles,
                     d_cap)
     return ConvPlan(
-        tile_t=t, n_tiles=r_tiles, g_pad=r_tiles * t, d_cap=d_cap,
+        tile_t=t, n_tiles=r_tiles, g_pad=r_tiles * t,
+        d_cap=_final_cap(d_cap, r_tiles),
         f_tile=f[0], f_src=f[1], f_dir=f[2], f_flag=f[3], f_first=f[4],
-        f_last=f[5], f_offs=f[6], f_scale=f[7],
+        f_last=f[5], f_offs=f[6], f_scale=f[7], f_active=f[8],
         b_tile=b[0], b_src=b[1], b_dir=b[2], b_flag=b[3], b_first=b[4],
-        b_last=b[5], b_offs=b[6], b_scale=b[7],
-        overflow=f[8] | b[8] | lvl.overflow,
+        b_last=b[5], b_offs=b[6], b_scale=b[7], b_active=b[8],
+        overflow=f[9] | b[9] | lvl.overflow,
     )
 
 

@@ -139,8 +139,10 @@ def make_dp_sample(solver, mesh: Mesh, steps=None, resolution: int = 256,
     n_steps = steps or solver.cfg.diffusion.ddim_steps
 
     def local(params, vae_params, key, label):
-        key = jax.random.fold_in(key[0], jax.lax.axis_index("data"))
-        k1, k2 = jax.random.split(key)
+        # the caller provides one key per shape index (reference semantics:
+        # sample i reproducible from seed+i alone, `train.py:166-177`,
+        # `octfusion_model_union.py:372`) — do NOT fold the device index in
+        k1, k2 = jax.random.split(key[0])
         split = solver.sample_lr(
             params, k1, batch_size=1,
             label=None if label is None else label[:1],

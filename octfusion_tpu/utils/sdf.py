@@ -11,7 +11,7 @@ behind a slow link."""
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -283,6 +283,104 @@ def calc_sdf(
     return np.asarray(out).astype(np.float32).reshape(
         batch_size, size, size, size
     )
+
+
+# ----------------------------------------------------------------------
+# device-side active-cell extraction (compact iso-surfacing transfer)
+# ----------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("cap", "level"))
+def _active_cells(grid: jnp.ndarray, cap: int, level: float = 0.0):
+    """Find iso-crossing cells of [B, R, R, R] grids on device.
+
+    A cell (i,j,k), i..k in [0, R-2], is active iff its 8 corners straddle
+    ``level`` — exactly the cells where marching produces triangles.
+    Returns (ids [B, cap] int32 flat cell ids (R-1)^3, vals [B, cap, 8]
+    f16 corner values, counts [B] int32, inside [B, R^3] bool sign bits).
+    ``counts > cap`` means truncation — fall back to the dense transfer."""
+    b, r = grid.shape[0], grid.shape[1]
+    gf = grid.astype(jnp.float32)
+    corners = [
+        gf[:, dx: r - 1 + dx, dy: r - 1 + dy, dz: r - 1 + dz]
+        for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)
+    ]
+    stack = jnp.stack(corners, -1)                   # [B, R-1, R-1, R-1, 8]
+    mn = jnp.min(stack, -1)
+    mx = jnp.max(stack, -1)
+    active = (mn <= level) & (mx >= level)
+    m = r - 1
+    act = active.reshape(b, m * m * m)
+    counts = jnp.sum(act.astype(jnp.int32), axis=1)
+
+    def pick(a, vals):
+        order = jnp.argsort(~a, stable=True)[:cap]
+        ok = a[order]
+        ids = jnp.where(ok, order, -1).astype(jnp.int32)
+        v = jnp.where(ok[:, None], vals[order], 0).astype(jnp.float16)
+        return ids, v
+
+    ids, vals = jax.vmap(pick)(act, stack.reshape(b, m * m * m, 8))
+    inside = (gf < level).reshape(b, r * r * r)
+    return ids, vals, counts, inside
+
+
+def calc_sdf_compact(
+    reg_levels: Dict[int, jnp.ndarray],
+    octree: Octree,
+    full_depth: int,
+    depth_end: int,
+    batch_size: int = 1,
+    size: int = 256,
+    bbmin: float = -0.9,
+    bbmax: float = 0.9,
+    cell_cap: Optional[int] = None,
+    level: float = 0.0,
+) -> np.ndarray:
+    """Dense-evaluate the SDF grid on device, extract active cells, ship
+    only (sign bits + active corner values) and reassemble a
+    marching-equivalent grid on the host.
+
+    The reconstructed grid has exact values at every corner of every
+    iso-crossing cell and sign-correct fillers (level±1) elsewhere, so
+    marching produces *identical* triangles to the full grid.  Transfer is
+    ~R³/8 bits + 16·A bytes instead of 2·R³ — matters when the device sits
+    behind a slow link (and on real hardware it keeps iso-surfacing off the
+    host's critical path).  Falls back to the dense transfer when the
+    surface exceeds ``cell_cap`` (e.g. noise fields from untrained
+    weights)."""
+    if cell_cap is None:
+        cell_cap = 8 * size * size
+    grid = mpu_ops.mpu_grid_eval(
+        reg_levels, octree, full_depth, depth_end, size,
+        jnp.float32(bbmin), jnp.float32(bbmax),
+    )
+    ids, vals, counts, inside = _active_cells(grid, cell_cap, level)
+    ids_h = np.asarray(ids)
+    vals_h = np.asarray(vals).astype(np.float32)
+    counts_h = np.asarray(counts)
+    inside_h = np.asarray(inside)
+    if (counts_h > cell_cap).any():
+        return np.asarray(grid.astype(jnp.float16)).astype(np.float32)
+
+    m = size - 1
+    out = np.empty((batch_size, size, size, size), np.float32)
+    for b in range(batch_size):
+        fill = np.where(inside_h[b], level - 1.0, level + 1.0).astype(
+            np.float32
+        ).reshape(size, size, size)
+        ok = ids_h[b] >= 0
+        ci = ids_h[b][ok]
+        x = ci // (m * m)
+        y = (ci // m) % m
+        z = ci % m
+        v = vals_h[b][ok]
+        k = 0
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    fill[x + dx, y + dy, z + dz] = v[:, k]
+                    k += 1
+        out[b] = fill
+    return out
 
 
 def export_meshes(

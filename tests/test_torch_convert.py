@@ -229,3 +229,94 @@ def _flax_path_to_torch(path, a):
             return joined + ".bias", a.reshape(1, -1)
         return joined + ".bias", a
     raise AssertionError((path, a.shape))
+
+
+def test_full_vae_forward_parity():
+    """Whole-network converter parity (VERDICT round-1 item 6): a random
+    reference-layout torch state dict drives BOTH a torch oracle
+    implementing the reference formulas end-to-end (tests/torch_ref_vae.py)
+    and the converted flax GraphVAE; encode (mean/logvar) and fixed-topology
+    decode (split logits + MPU regressions at every depth) must agree."""
+    import torch_ref_vae as tref
+
+    from octfusion_tpu.nn.vae import GraphVAE
+    from octfusion_tpu.octree.octree import OctreeSpec, build_octree
+    from octfusion_tpu.octree.dual_graph import build_dual_graph
+
+    depth, fd, ds, dout, rbn, e = 4, 2, 3, 4, 2, 2
+    channels = (4, 8, 8, 8, 16, 8)[: depth + 1]
+    channels = (4, 8, 8, 16, 8)
+    rng = np.random.RandomState(7)
+    v = rng.normal(size=(300, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    r = 0.55 + 0.2 * np.sin(4 * v[:, 0])
+    spec = OctreeSpec.create(depth, fd, 1, finest_cap_per_sample=2048,
+                             decay=1.0)
+    o = build_octree(
+        jnp.asarray((r[:, None] * v).astype(np.float32)),
+        jnp.asarray(v.astype(np.float32)), spec,
+    )
+    g = build_dual_graph(o)
+
+    sd = tref.make_state_dict(rng, depth, ds, dout, rbn, channels, e)
+
+    # ---- torch oracle --------------------------------------------------
+    graphs = {d: tref.compact_level(g, d) for d in range(ds, depth + 1)}
+    nn_depth = int(o.nnum[depth])
+    sig = np.asarray(o.signal)[:nn_depth]
+    n_coarse_leaves = graphs[depth]["n"] - nn_depth
+    x0 = torch.tensor(
+        np.concatenate(
+            [np.zeros((n_coarse_leaves, 4), np.float32), sig]
+        )
+    )
+    t_mean, t_logvar = tref.encode(sd, x0, graphs, o, depth, ds, rbn,
+                                   channels)
+    t_logits, t_regs = tref.decode(sd, t_mean, graphs, o, ds, dout, rbn,
+                                   channels)
+
+    # ---- converted flax ------------------------------------------------
+    params = tc.convert_vae(sd, depth=depth, depth_stop=ds, depth_out=dout,
+                            resblk_num=rbn)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    vae = GraphVAE(depth=depth, full_depth=fd, depth_stop=ds, depth_out=dout,
+                   embed_dim=e, resblk_num=rbn, channels=channels,
+                   use_checkpoint=False)
+    j_mean, j_logvar = vae.apply(params, g, method=GraphVAE.encode)
+    out = vae.apply(params, j_mean, g, method=GraphVAE.decode)
+
+    # encode parity on the compact positions
+    m_ds = graphs[ds]["mapping"]
+    valid = np.nonzero(m_ds >= 0)[0]
+    order = np.argsort(m_ds[valid], kind="stable")
+    vidx = valid[order]
+    np.testing.assert_allclose(
+        np.asarray(j_mean)[vidx], t_mean.numpy(), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_logvar)[vidx], t_logvar.numpy(), rtol=2e-4, atol=2e-4
+    )
+
+    # decode parity: split logits per depth (current segment, valid prefix)
+    for d in range(ds, dout + 1):
+        nn_d = int(o.nnum[d])
+        np.testing.assert_allclose(
+            np.asarray(out["logits"][d])[:nn_d], t_logits[d].numpy(),
+            rtol=2e-3, atol=2e-3,
+        )
+    # regression heads: compare on octree slots per contributing depth
+    for d in range(ds, dout + 1):
+        gr = graphs[d]
+        treg = t_regs[d].numpy()
+        pos = 0
+        for dd in range(fd, d):
+            slots = gr["seg_slots"][dd]
+            seg = treg[pos: pos + len(slots)]
+            got = np.asarray(out["reg_voxs"][d][dd])[slots]
+            np.testing.assert_allclose(got, seg, rtol=2e-3, atol=2e-3)
+            pos += len(slots)
+        nn_d = int(o.nnum[d])
+        np.testing.assert_allclose(
+            np.asarray(out["reg_voxs"][d][d])[:nn_d], treg[pos: pos + nn_d],
+            rtol=2e-3, atol=2e-3,
+        )

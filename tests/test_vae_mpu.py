@@ -272,3 +272,56 @@ def test_mpu_grid_eval_matches_gather_path():
             np.asarray(grid[b]).reshape(-1), np.asarray(ref),
             rtol=1e-4, atol=1e-5,
         )
+
+
+def test_calc_sdf_compact_matches_dense_marching():
+    """Compact active-cell transfer must reproduce the dense grid exactly at
+    every corner of every iso-crossing cell and sign-correctly elsewhere."""
+    from octfusion_tpu.utils import sdf as sdf_utils
+
+    o = make_octree(seed=13, n=200)
+    fd, depth = o.spec.full_depth, o.spec.depth
+    # smooth sphere-plane field (same construction as the hierarchical test)
+    reg = {}
+    for dd in range(fd, depth + 1):
+        from octfusion_tpu.octree import morton as M
+
+        keys = np.asarray(o.keys[dd])
+        scale = 2**dd
+        x, y, z = (np.asarray(v) for v in M.key2xyz(jnp.asarray(keys), dd))
+        centre = (np.stack([x, y, z], -1) + 0.5) / scale * 2.0 - 1.0
+        norm = np.linalg.norm(centre, axis=-1, keepdims=True)
+        r = np.zeros((o.spec.node_caps[dd], 4), np.float32)
+        r[:, :3] = centre / np.maximum(norm, 1e-9)
+        r[:, 3] = norm[:, 0] - 0.6
+        r[~np.asarray(o.node_mask(dd))] = 0
+        reg[dd] = jnp.asarray(r)
+    size = 32
+    dense = sdf_utils.calc_sdf(reg, o, fd, depth, 1, size=size)
+    comp = sdf_utils.calc_sdf_compact(reg, o, fd, depth, 1, size=size)
+    assert comp.shape == dense.shape
+    # signs agree away from the zero set (the two separately-compiled
+    # programs differ by fp reassociation ~1e-5)
+    clear = np.abs(dense) > 1e-3
+    np.testing.assert_array_equal((comp < 0)[clear], (dense < 0)[clear])
+    # values agree exactly on corners of active cells
+    g = dense[0]
+    st = np.stack([
+        g[dx:size - 1 + dx, dy:size - 1 + dy, dz:size - 1 + dz]
+        for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)
+    ], -1)
+    act = (st.min(-1) <= 0) & (st.max(-1) >= 0)
+    assert act.sum() > 50
+    xs, ys, zs = np.nonzero(act)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                np.testing.assert_allclose(
+                    comp[0][xs + dx, ys + dy, zs + dz],
+                    dense[0][xs + dx, ys + dy, zs + dz], atol=1e-3,
+                )
+    # tiny cap -> overflow fallback returns the dense grid
+    fb = sdf_utils.calc_sdf_compact(
+        reg, o, fd, depth, 1, size=size, cell_cap=8
+    )
+    np.testing.assert_allclose(fb, dense, atol=1e-3)

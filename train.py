@@ -61,6 +61,7 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
+    import numpy as np
 
     from octfusion_tpu import config as config_lib
     from octfusion_tpu.data import loader as loader_lib
@@ -125,8 +126,9 @@ def main():
     )
     data_iter = iter(dl)
     first = next(data_iter)
+    per_dev = max(1, global_batch // n_dev) if n_dev > 1 else None
     jb_one = {
-        k: jnp.asarray(v[: global_batch // n_dev if n_dev > 1 else None])
+        k: jnp.asarray(v[:per_dev])
         for k, v in first.items() if k != "filename"
     }
 
@@ -214,9 +216,43 @@ def main():
         # result i is produced by process i % world, seeds keyed by i so each
         # sample is independently reproducible (`octfusion_model_union.py:372`)
         rank, world = jax.process_index(), jax.process_count()
-        for i in range(rank, args.count, world):
+        my_idx = list(range(rank, args.count, world))
+        rdir = os.path.join(run_dir, f"results_{args.category}")
+        if args.model != "vae" and n_dev > 1 and len(my_idx) > 1:
+            # all local devices run full cascades in ONE jitted program
+            # (the v5e-8 throughput path; SURVEY §2.3 generation sharding)
+            from octfusion_tpu.utils import sdf as sdf_utils
+
+            mesh = make_mesh(data=n_dev, model=1)
+            sample_fn = pts.make_dp_sample(
+                solver, mesh, resolution=cfg.solver.resolution
+            )
+            for c0 in range(0, len(my_idx), n_dev):
+                chunk = my_idx[c0:c0 + n_dev]
+                padded = chunk + [chunk[-1]] * (n_dev - len(chunk))
+                keys = jnp.stack([
+                    jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
+                    for i in padded
+                ])
+                labels = (
+                    None if label is None
+                    else jnp.broadcast_to(label, (n_dev,))
+                )
+                grids = np.asarray(
+                    sample_fn(state.ema_params, vae_params, keys, labels)
+                ).astype(np.float32)
+                paths = [os.path.join(rdir, f"{i}.obj") for i in chunk]
+                sdf_utils.export_meshes(
+                    grids[: len(chunk)], paths,
+                    bbmin=-cfg.solver.sdf_scale, bbmax=cfg.solver.sdf_scale,
+                    mesh_scale=cfg.data_test.point_scale,
+                )
+                for p in paths:
+                    print(f"[*] wrote {p}")
+            return
+        for i in my_idx:
             k = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
-            path = os.path.join(run_dir, f"results_{args.category}", f"{i}.obj")
+            path = os.path.join(rdir, f"{i}.obj")
             if args.model == "vae":
                 b = collated_one(dataset, i, jnp)
                 solver.reconstruct(state.params, b, k, save_paths=[path])
