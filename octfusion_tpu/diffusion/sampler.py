@@ -30,17 +30,34 @@ def sample_loop(
     df_type: str = "x0",
     truncated_index: float = 0.0,
     snap_sign: bool = False,
+    noise_stream=None,
 ):
-    """Returns the final state after ``steps`` ancestral updates."""
+    """Returns the final state after ``steps`` ancestral updates.
+
+    ``noise_stream``: optional externally generated noise replacing
+    ``jax.random`` — ``noise_stream[0]`` is the initial state, entries
+    ``1..steps`` the per-step ancestral noise (x0 parameterisation draws
+    one per step, matching the reference's torch.randn call order,
+    `octfusion_model_union.py:308,339-344`; the eps path needs only entry
+    0).  This is the ingestion hook for bit-comparable sampling from
+    reference-generated noise (SURVEY §7.3.3)."""
     t_arr, t_next_arr = sampling_time_pairs(steps)
     key, nkey = jax.random.split(key)
-    x = jax.random.normal(nkey, shape, jnp.float32)
+    if noise_stream is not None:
+        x = jnp.asarray(noise_stream[0], jnp.float32)
+        if noise_stream.shape[0] >= steps + 1:
+            step_noise = jnp.asarray(noise_stream[1:steps + 1], jnp.float32)
+        else:
+            step_noise = jnp.zeros((steps,) + shape, jnp.float32)
+    else:
+        x = jax.random.normal(nkey, shape, jnp.float32)
+        step_noise = None
     x_start = jnp.zeros(shape, jnp.float32)
     step_keys = jax.random.split(key, steps)
 
     def step(carry, inp):
         x, x_start = carry
-        t, t_next, k = inp
+        t, t_next, k, ext_noise = inp
         snr = log_snr_fn(t)
         snr_next = log_snr_fn(t_next)
         tb = jnp.full((batch_size,), snr, jnp.float32)
@@ -53,11 +70,11 @@ def sample_loop(
             c = -jnp.expm1(snr - snr_next)
             mean = alpha_next * (x * (1 - c) / alpha + c * out)
             var = (sigma_next**2) * c
-            noise = jnp.where(
-                t_next > truncated_index,
-                jax.random.normal(k, shape, jnp.float32),
-                0.0,
+            raw = (
+                ext_noise if ext_noise is not None
+                else jax.random.normal(k, shape, jnp.float32)
             )
+            noise = jnp.where(t_next > truncated_index, raw, 0.0)
             x_new = mean + jnp.sqrt(jnp.maximum(var, 0.0)) * noise
             return (x_new, out), None
         elif df_type == "eps":
@@ -68,7 +85,9 @@ def sample_loop(
             return (x_new, x0), None
         raise ValueError(df_type)
 
-    (x, _), _ = jax.lax.scan(step, (x, x_start), (t_arr, t_next_arr, step_keys))
+    (x, _), _ = jax.lax.scan(
+        step, (x, x_start), (t_arr, t_next_arr, step_keys, step_noise)
+    )
     return x
 
 

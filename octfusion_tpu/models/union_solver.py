@@ -199,7 +199,7 @@ class UnionSolver:
     # sampling cascade (`octfusion_model_union.py:354-401`)
     # ------------------------------------------------------------------
     def sample_lr(self, params, key, batch_size: int, label=None,
-                  steps: Optional[int] = None):
+                  steps: Optional[int] = None, noise_stream=None):
         fd = self.cfg.model.full_depth
         s = 2**fd
         dcfg = self.cfg.diffusion
@@ -209,15 +209,22 @@ class UnionSolver:
                 params, "lr", x, tb, x_self_cond=x_start, label=label
             )
 
+        # split grid is NDHWC here vs the reference's NCDHW — transpose an
+        # ingested reference stream accordingly
+        if noise_stream is not None:
+            noise_stream = jnp.transpose(
+                jnp.asarray(noise_stream), (0, 1, 3, 4, 5, 2)
+            )
         return sampler.sample_loop(
             denoise, key, (batch_size, s, s, s, 8), batch_size,
             steps or dcfg.ddim_steps, self.log_snr,
             df_type=self.df_type["lr"],
             truncated_index=dcfg.truncated_time, snap_sign=True,
+            noise_stream=noise_stream,
         )
 
     def sample_hr(self, params, key, g, batch_size: int, label=None,
-                  steps: Optional[int] = None):
+                  steps: Optional[int] = None, noise_stream=None):
         lvl = g.level(self.small_depth)
         dcfg = self.cfg.diffusion
 
@@ -230,6 +237,7 @@ class UnionSolver:
             denoise, key, (lvl.g_cap, self.cfg.model.embed_dim), batch_size,
             steps or dcfg.ddim_steps, self.log_snr,
             df_type=self.df_type["hr"],
+            noise_stream=noise_stream,
         )
         return jnp.where(lvl.node_mask[:, None], code, 0.0)
 

@@ -62,11 +62,12 @@ def _fwd_kernel(
 
         @pl.when(active_ref[g] == 1)
         def _(k=k, g=g):
-            src = x_ref[pl.ds(src_ref[g] * t, t), :].astype(jnp.bfloat16)
-            m = _onehot(offs_ref[k], scale_ref[k], flag_ref[g], t,
-                        jnp.bfloat16)
+            start = pl.multiple_of(src_ref[g] * t, t)
+            src = x_ref[pl.ds(start, t), :]               # [T, C]
+            m = _onehot(offs_ref[k], scale_ref[k], flag_ref[g], t, src.dtype)
             part = jnp.dot(m, src, preferred_element_type=jnp.float32)
-            col_ref[:, pl.ds(dir_ref[g] * c, c)] += part
+            dstart = pl.multiple_of(dir_ref[g] * c, c)
+            col_ref[:, pl.ds(dstart, c)] += part
 
     @pl.when(last_ref[base + DESC_BLOCK - 1] == 1)
     def _():
@@ -94,10 +95,12 @@ def _col_kernel(
 
         @pl.when(active_ref[g] == 1)
         def _(k=k, g=g):
-            src = x_ref[pl.ds(src_ref[g] * t, t), :]
+            start = pl.multiple_of(src_ref[g] * t, t)
+            src = x_ref[pl.ds(start, t), :]
             m = _onehot(offs_ref[k], scale_ref[k], flag_ref[g], t, src.dtype)
             part = jnp.dot(m, src, preferred_element_type=jnp.float32)
-            col_ref[:, pl.ds(dir_ref[g] * c, c)] += part
+            dstart = pl.multiple_of(dir_ref[g] * c, c)
+            col_ref[:, pl.ds(dstart, c)] += part
 
     @pl.when(last_ref[base + DESC_BLOCK - 1] == 1)
     def _():
@@ -122,8 +125,10 @@ def _bwd_kernel(
 
         @pl.when(active_ref[g] == 1)
         def _(k=k, g=g):
-            dout = dout_ref[pl.ds(src_ref[g] * t, t), :]  # [T, Cout]
-            wd = w_ref[pl.ds(dir_ref[g] * c, c), :]       # [C, Cout]
+            start = pl.multiple_of(src_ref[g] * t, t)
+            dout = dout_ref[pl.ds(start, t), :]           # [T, Cout]
+            wstart = pl.multiple_of(dir_ref[g] * c, c)
+            wd = w_ref[pl.ds(wstart, c), :]               # [C, Cout]
             dcol = jax.lax.dot_general(
                 dout, wd, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,

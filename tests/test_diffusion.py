@@ -234,3 +234,87 @@ def test_conditional_hr_label_changes_output():
     z0 = model.apply(params, "lr", xlr, t, label=lab0)
     z1 = model.apply(params, "lr", xlr, t, label=lab1)
     assert float(jnp.abs(z0 - z1).max()) > 0
+
+
+def test_sample_loop_matches_reference_math_with_torch_stream():
+    """The ingestion hook + sampler math reproduce the reference ancestral
+    loop (`octfusion_model_union.py:300-352`) bit-closely when both consume
+    the same torch-generated noise stream and the same denoiser."""
+    import torch
+
+    from octfusion_tpu.diffusion import sampler, schedule
+    from octfusion_tpu.utils import torch_noise
+
+    shape = (2, 4, 4, 4, 8)
+    steps = 6
+    stream = torch_noise.reference_lr_noise(11, 3, shape, steps)
+    w = np.asarray(
+        np.random.RandomState(0).normal(size=(8, 8)).astype(np.float32) * 0.2
+    )
+
+    # jax side: x0 parameterisation with truncation + sign snap
+    log_snr = schedule.get_log_snr("linear")
+    got = sampler.sample_loop(
+        lambda x, tb, xs: jnp.tanh(x @ jnp.asarray(w)),
+        jax.random.PRNGKey(0), shape, 2, steps, log_snr,
+        df_type="x0", truncated_index=0.7, snap_sign=True,
+        noise_stream=jnp.asarray(stream),
+    )
+
+    # torch side: reference formulas
+    tw = torch.tensor(w)
+    x = torch.tensor(stream[0])
+    times = torch.linspace(1.0, 0.0, steps + 1)
+    for i in range(steps):
+        t, t_next = float(times[i]), float(times[i + 1])
+        snr = -torch.log(torch.expm1(
+            torch.tensor(1e-4 + 10.0 * t * t)
+        ))  # beta_linear_log_snr (`ldm_diffusion_util.py:300-303`)
+        snr_next = -torch.log(torch.expm1(
+            torch.tensor(1e-4 + 10.0 * t_next * t_next)
+        ))
+        out = torch.tanh(x @ tw)
+        if t < 0.7:
+            out = out.sign()
+        alpha = torch.sigmoid(snr).sqrt()
+        sigma = torch.sigmoid(-snr).sqrt()
+        alpha_n = torch.sigmoid(snr_next).sqrt()
+        sigma_n = torch.sigmoid(-snr_next).sqrt()
+        del alpha, sigma  # x0 mean uses alpha via c-expression below
+        alpha = torch.sigmoid(snr).sqrt()
+        c = -torch.expm1(snr - snr_next)
+        mean = alpha_n * (x * (1 - c) / alpha + c * out)
+        var = (sigma_n**2) * c
+        noise = torch.tensor(stream[i + 1]) if t_next > 0.7 else torch.zeros_like(x)
+        x = mean + var.clamp(min=0).sqrt() * noise
+    np.testing.assert_allclose(
+        np.asarray(got), x.numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_hr_noise_pad_roundtrip():
+    """pad_hr_noise places compact reference-layout noise exactly on the
+    padded level layout (valid rows only)."""
+    from octfusion_tpu.octree.octree import OctreeSpec, build_octree
+    from octfusion_tpu.octree.dual_graph import build_dual_graph
+    from octfusion_tpu.utils import torch_noise
+
+    rng = np.random.RandomState(5)
+    v = rng.normal(size=(200, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    spec = OctreeSpec.create(4, 2, 1, finest_cap_per_sample=2048, decay=1.0)
+    o = build_octree(
+        jnp.asarray((0.6 * v).astype(np.float32)),
+        jnp.asarray(v.astype(np.float32)), spec,
+    )
+    g = build_dual_graph(o, up_to=3)
+    n_nodes = int(g.level(3).n_nodes)
+    noise = torch_noise.reference_hr_noise(7, n_nodes, 2)
+    padded = torch_noise.pad_hr_noise(noise, g, 3)
+    lvl = g.level(3)
+    mask = np.asarray(lvl.node_mask)
+    assert padded.shape == (1, lvl.g_cap, 2)
+    # every compact value appears exactly once on a valid row
+    assert np.allclose(np.sort(padded[0][mask], axis=None),
+                       np.sort(noise[0], axis=None))
+    assert np.all(padded[0][~mask] == 0)
