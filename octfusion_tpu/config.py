@@ -69,6 +69,7 @@ class DataConfig:
     load_sdf: bool = True
     load_pointcloud: bool = True
     load_split_small: bool = False
+    load_color: bool = False
     shuffle: bool = True
     num_workers: int = 4
     in_memory: bool = False

@@ -24,7 +24,9 @@ class ShapeNetDataset:
     def __init__(self, location: str, filelist: str, point_scale: float = 0.5,
                  point_sample_num: int = 10000, points_per_shape: int = 65536,
                  load_sdf: bool = True, load_split_small: bool = False,
-                 load_pointcloud: bool = True, in_memory: bool = False):
+                 load_pointcloud: bool = True, in_memory: bool = False,
+                 load_color: bool = False):
+        self.load_color = load_color
         self.location = location
         self._cache = {} if in_memory else None
         self.point_scale = point_scale
@@ -62,6 +64,11 @@ class ShapeNetDataset:
             sel = rng.randint(0, len(pts), size=self.points_per_shape)
             out["points"] = np.clip(pts[sel], -1, 1)
             out["normals"] = nrm[sel]
+            if self.load_color:
+                # per-point colors aligned with the pointcloud
+                # (`dualoctree_snet.py:133-136`)
+                craw = self._load(os.path.join(fn, "color.npz"))
+                out["point_colors"] = craw["colors"][sel].astype(np.float32)
         if self.load_split_small:
             raw = self._load(os.path.join(fn, "split_small.npz"))
             out["split_small"] = raw["split_small"].astype(np.float32)
@@ -98,11 +105,13 @@ class SyntheticDataset:
     projecting near-surface samples along the SDF gradient."""
 
     def __init__(self, size: int = 1000, point_sample_num: int = 10000,
-                 points_per_shape: int = 65536, num_classes: int = 5):
+                 points_per_shape: int = 65536, num_classes: int = 5,
+                 load_color: bool = False):
         self.size = size
         self.point_sample_num = point_sample_num
         self.points_per_shape = points_per_shape
         self.num_classes = num_classes
+        self.load_color = load_color
 
     def __len__(self):
         return self.size
@@ -174,7 +183,7 @@ class SyntheticDataset:
         vol = rng.uniform(-0.95, 0.95, size=(self.point_sample_num - n_half, 3))
         pos = np.concatenate([near, vol]).astype(np.float32)
         pos = np.clip(pos, -1, 1)
-        return {
+        out = {
             "filename": f"synthetic/{idx}",
             "label": idx % self.num_classes,
             "points": np.clip(surf, -1, 1).astype(np.float32),
@@ -183,6 +192,12 @@ class SyntheticDataset:
             "sdf": sdf(pos).astype(np.float32),
             "grad": self._gradient(sdf, pos).astype(np.float32),
         }
+        if self.load_color:
+            # analytic position-based RGB field (exact supervision)
+            out["point_colors"] = (
+                (np.clip(surf, -1, 1) + 1.0) / 2.0
+            ).astype(np.float32)
+        return out
 
 
 def octree_node_counts(points: np.ndarray, depth: int,
@@ -261,6 +276,8 @@ def collate(samples: List[Dict]) -> Dict:
         out["grad"] = np.stack([s["grad"] for s in samples])
     if "split_small" in samples[0]:
         out["split_small"] = np.stack([s["split_small"] for s in samples])
+    if "point_colors" in samples[0]:
+        out["point_colors"] = np.stack([s["point_colors"] for s in samples])
     return out
 
 
@@ -269,6 +286,7 @@ def get_dataset(cfg) -> object:
         return SyntheticDataset(
             point_sample_num=cfg.point_sample_num,
             points_per_shape=cfg.points_per_shape,
+            load_color=cfg.load_color,
         )
     if cfg.name == "shapenet":
         return ShapeNetDataset(
@@ -277,5 +295,6 @@ def get_dataset(cfg) -> object:
             load_split_small=cfg.load_split_small,
             load_pointcloud=cfg.load_pointcloud,
             in_memory=cfg.in_memory,
+            load_color=cfg.load_color,
         )
     raise ValueError(cfg.name)

@@ -31,6 +31,7 @@ def sample_loop(
     truncated_index: float = 0.0,
     snap_sign: bool = False,
     noise_stream=None,
+    eta: float = 1.0,
 ):
     """Returns the final state after ``steps`` ancestral updates.
 
@@ -67,6 +68,14 @@ def sample_loop(
         if df_type == "x0":
             alpha, sigma = log_snr_to_alpha_sigma(snr)
             alpha_next, sigma_next = log_snr_to_alpha_sigma(snr_next)
+            if eta == 0.0:
+                # DDIM (eta=0) deterministic update: eps from the x0
+                # prediction, then re-noise at the next level — the
+                # continuous-time form of the reference's vestigial DDIM
+                # sampler (`samplers/ddim.py`, SURVEY §2.6)
+                eps = (x - alpha * out) / jnp.maximum(sigma, 1e-8)
+                x_new = alpha_next * out + sigma_next * eps
+                return (x_new, out), None
             c = -jnp.expm1(snr - snr_next)
             mean = alpha_next * (x * (1 - c) / alpha + c * out)
             var = (sigma_next**2) * c

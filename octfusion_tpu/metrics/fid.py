@@ -76,3 +76,31 @@ def per_view_fid(
         f2 = feature_fn(images2[:, vi])
         fids.append(fid_from_features(f1, f2))
     return float(np.mean(fids))
+
+
+def render_mesh_set(paths, image_size: int = 299, n_views: int = 20
+                    ) -> np.ndarray:
+    """[N, V, S, S] shading images of a set of OBJ meshes via the software
+    triangle rasteriser — the reference's ``generate_image_for_fid``
+    pipeline (`utils/render_utils.py:14-23`) without pyrender/EGL."""
+    from ..utils.mesh import load_obj
+    from .render import render_mesh_views_raster
+
+    out = []
+    for p in paths:
+        v, f = load_obj(p)
+        out.append(
+            render_mesh_views_raster(
+                v, f, image_size=image_size, n_views=n_views
+            )
+        )
+    return np.stack(out)
+
+
+def shading_fid(sample_paths, reference_paths, image_size: int = 299,
+                n_views: int = 20,
+                feature_fn: Optional[Callable] = None) -> float:
+    """End-to-end per-view shading FID between two mesh sets."""
+    imgs1 = render_mesh_set(sample_paths, image_size, n_views)
+    imgs2 = render_mesh_set(reference_paths, image_size, n_views)
+    return per_view_fid(imgs1, imgs2, feature_fn=feature_fn)

@@ -29,9 +29,13 @@ def batch_to_octree(
     points: jnp.ndarray,       # [B, N, 3]
     normals: jnp.ndarray,      # [B, N, 3]
     spec_single: OctreeSpec,
+    features: Optional[jnp.ndarray] = None,   # [B, N, F] e.g. colors
 ) -> Octree:
     octs = [
-        build_octree(points[i], normals[i], spec_single)
+        build_octree(
+            points[i], normals[i], spec_single,
+            None if features is None else features[i],
+        )
         for i in range(points.shape[0])
     ]
     return merge_octrees(octs) if len(octs) > 1 else octs[0]
@@ -39,9 +43,9 @@ def batch_to_octree(
 
 def batch_to_graph(
     points, normals, spec_single: OctreeSpec, edge_factor: int = 9,
-    up_to: Optional[int] = None,
+    up_to: Optional[int] = None, features=None,
 ):
-    octree = batch_to_octree(points, normals, spec_single)
+    octree = batch_to_octree(points, normals, spec_single, features)
     graph = build_dual_graph(octree, edge_factor, up_to=up_to)
     return octree, graph
 

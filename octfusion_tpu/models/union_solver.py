@@ -21,10 +21,21 @@ from ..diffusion import sampler, schedule
 from ..nn.unet_union import UNetUnion, UnionConfig
 from ..nn.vae import GraphVAE
 from ..octree import split_codec
-from ..octree.dual_graph import build_dual_graph
+from ..octree.dual_graph import build_dual_graph, with_conv_plans
 from ..utils import sdf as sdf_utils
 from .common import (TrainState, batch_to_graph, batch_to_graph_jit,
                      batch_to_octree)
+
+
+def use_fused_conv() -> bool:
+    """The Pallas fused conv is the default on TPU for sampling-time graphs
+    (topology fixed across steps); OCTFUSION_FUSED_CONV=0 disables it."""
+    import os
+
+    import jax
+
+    flag = os.environ.get("OCTFUSION_FUSED_CONV", "1")
+    return flag != "0" and jax.default_backend() == "tpu"
 
 
 class UnionSolver:
@@ -199,7 +210,8 @@ class UnionSolver:
     # sampling cascade (`octfusion_model_union.py:354-401`)
     # ------------------------------------------------------------------
     def sample_lr(self, params, key, batch_size: int, label=None,
-                  steps: Optional[int] = None, noise_stream=None):
+                  steps: Optional[int] = None, noise_stream=None,
+                  eta: float = 1.0):
         fd = self.cfg.model.full_depth
         s = 2**fd
         dcfg = self.cfg.diffusion
@@ -220,11 +232,12 @@ class UnionSolver:
             steps or dcfg.ddim_steps, self.log_snr,
             df_type=self.df_type["lr"],
             truncated_index=dcfg.truncated_time, snap_sign=True,
-            noise_stream=noise_stream,
+            noise_stream=noise_stream, eta=eta,
         )
 
     def sample_hr(self, params, key, g, batch_size: int, label=None,
-                  steps: Optional[int] = None, noise_stream=None):
+                  steps: Optional[int] = None, noise_stream=None,
+                  eta: float = 1.0):
         lvl = g.level(self.small_depth)
         dcfg = self.cfg.diffusion
 
@@ -237,7 +250,7 @@ class UnionSolver:
             denoise, key, (lvl.g_cap, self.cfg.model.embed_dim), batch_size,
             steps or dcfg.ddim_steps, self.log_snr,
             df_type=self.df_type["hr"],
-            noise_stream=noise_stream,
+            noise_stream=noise_stream, eta=eta,
         )
         return jnp.where(lvl.node_mask[:, None], code, 0.0)
 
@@ -264,7 +277,7 @@ class UnionSolver:
     def sample(self, params, vae_params, key, batch_size: int = 1,
                label=None, steps: Optional[int] = None,
                resolution: Optional[int] = None, save_paths=None,
-               split_small=None):
+               split_small=None, compute_sdf: bool = True):
         """Full generation cascade, each stage jitted once
         (`octfusion_model_union.py:354-401`)."""
         m = self.cfg.model
@@ -281,6 +294,11 @@ class UnionSolver:
             g_small = build_dual_graph(
                 octree_small, self.edge_factor, up_to=self.small_depth
             )
+            # fused-conv descriptor plans: built once per shape, reused by
+            # every conv of all 200 hr sampling steps (~1.5x step win on
+            # v5e, PERF.md)
+            if use_fused_conv():
+                g_small = with_conv_plans(g_small)
             return octree_small, g_small
 
         octree_small, g_small = self._jit(f"grow_{batch_size}", grow)(
@@ -298,6 +316,13 @@ class UnionSolver:
                 vp, c, g, method=GraphVAE.decode_grow
             ),
         )(vae_params, code, g_small)
+        if not compute_sdf:
+            return {
+                "split_small": split_small,
+                "octree_small": octree_small,
+                "code": code,
+                "decode_out": out,
+            }
         res = resolution or self.cfg.solver.resolution
         sdfs = sdf_utils.calc_sdf(
             out["reg_voxs"][m.depth_out], out["octree_out"],

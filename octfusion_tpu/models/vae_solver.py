@@ -23,11 +23,13 @@ class VAESolver:
     def __init__(self, cfg: Config):
         self.cfg = cfg
         m = cfg.model
+        self.use_color = cfg.loss.name == "color"
         self.vae = GraphVAE(
             depth=m.depth, channel_in=m.channel_in, full_depth=m.full_depth,
             depth_stop=m.depth_stop, depth_out=m.depth_out,
             embed_dim=m.embed_dim, resblk_num=m.resblk_num,
             channels=tuple(m.channels), use_checkpoint=m.use_checkpoint,
+            color_channel=3 if self.use_color else 0,
         )
         self.spec1 = cfg.capacity.octree_spec(m.depth, m.full_depth, 1)
         self.edge_factor = cfg.capacity.edge_factor
@@ -42,9 +44,12 @@ class VAESolver:
         return optax.adamw(sched, weight_decay=self.cfg.train.weight_decay)
 
     def init_state(self, key, batch, total_steps: int = 100_000) -> TrainState:
+        feats = (
+            jnp.asarray(batch["point_colors"]) if self.use_color else None
+        )
         _, g = batch_to_graph_jit(
             jnp.asarray(batch["points"]), jnp.asarray(batch["normals"]),
-            self.spec1, self.edge_factor,
+            self.spec1, self.edge_factor, features=feats,
         )
         params = jax.jit(self.vae.init)(key, g, g, key)
         opt = self.make_optimizer(total_steps)
@@ -56,19 +61,33 @@ class VAESolver:
     # ------------------------------------------------------------------
     def loss_fn(self, params, batch, key):
         m = self.cfg.model
+        feats = batch.get("point_colors") if self.use_color else None
         octree, g = batch_to_graph(
-            batch["points"], batch["normals"], self.spec1, self.edge_factor
+            batch["points"], batch["normals"], self.spec1, self.edge_factor,
+            features=feats,
         )
         out = self.vae.apply(params, g, g, key)
         pos, pb = flatten_pos(batch["pos"])
         sdf_gt = batch["sdf"].reshape(-1)
         grad_gt = batch["grad"].reshape(-1, 3)
-        ld = losses.geometry_loss(
-            out, pos, pb, sdf_gt, grad_gt,
-            m.full_depth, m.depth_stop, m.depth_out,
-            kl_weight=self.cfg.loss.kl_weight,
-            loss_type=self.cfg.loss.loss_type,
-        )
+        if self.use_color:
+            # color supervision at (a subset of) the input surface points
+            k = min(4096, batch["points"].shape[1])
+            cpos, cb = flatten_pos(batch["points"][:, :k])
+            cgt = batch["point_colors"][:, :k].reshape(-1, 3)
+            ld = losses.geometry_color_loss(
+                out, pos, pb, sdf_gt, grad_gt, cpos, cb, cgt,
+                m.full_depth, m.depth_stop, m.depth_out,
+                kl_weight=self.cfg.loss.kl_weight,
+                loss_type=self.cfg.loss.loss_type,
+            )
+        else:
+            ld = losses.geometry_loss(
+                out, pos, pb, sdf_gt, grad_gt,
+                m.full_depth, m.depth_stop, m.depth_out,
+                kl_weight=self.cfg.loss.kl_weight,
+                loss_type=self.cfg.loss.loss_type,
+            )
         # capacity overflow means nodes/edges were dropped -> the step is
         # silently wrong; surface it so the train loop can fail loudly
         # (consumer of the contract at `octree/octree.py:113-116`)
@@ -103,9 +122,13 @@ class VAESolver:
         """Encode + growing decode + SDF grid (+ optional mesh export)
         (`octfusion_model_vae.py:189-205`)."""
         m = self.cfg.model
+        feats = (
+            jnp.asarray(batch["point_colors"])
+            if self.use_color and "point_colors" in batch else None
+        )
         octree, g = batch_to_graph_jit(
             jnp.asarray(batch["points"]), jnp.asarray(batch["normals"]),
-            self.spec1, self.edge_factor,
+            self.spec1, self.edge_factor, features=feats,
         )
         mean, _ = jax.jit(
             lambda p, g: self.vae.apply(p, g, method=GraphVAE.encode)

@@ -139,3 +139,42 @@ def geometry_loss(
     total = sum(v for k, v in output.items() if "loss" in k)
     output["loss"] = total
     return output
+
+
+def geometry_color_loss(
+    vae_out: Dict,
+    pos: jnp.ndarray,
+    pt_batch: jnp.ndarray,
+    sdf_gt: jnp.ndarray,
+    grad_gt: jnp.ndarray,
+    color_pos: jnp.ndarray,
+    color_batch: jnp.ndarray,
+    color_gt: jnp.ndarray,
+    full_depth: int,
+    depth_stop: int,
+    depth_out: int,
+    kl_weight: float = 0.1,
+    loss_type: str = "sdf_reg_loss",
+):
+    """geometry_loss + per-depth color regression
+    (`loss.py:180-197` geometry_color_loss; `loss.py:82-88` 200x mse).
+    Predicted per-node colors are blended at the surface supervision points
+    with the same partition-of-unity weights as the SDF."""
+    from ..ops import mpu as mpu_ops
+
+    output = geometry_loss(
+        vae_out, pos, pt_batch, sdf_gt, grad_gt, full_depth, depth_stop,
+        depth_out, kl_weight=kl_weight, loss_type=loss_type,
+    )
+    octree_out = vae_out["octree_out"]
+    total = output.pop("loss")
+    for d in range(depth_stop, depth_out + 1):
+        pred = mpu_ops.mpu_interp(
+            color_pos, color_batch, vae_out["colors"][d], octree_out,
+            full_depth, d,
+        )
+        closs = 200.0 * jnp.mean((pred - color_gt) ** 2)
+        output[f"color_loss_{d}"] = closs
+        total = total + closs
+    output["loss"] = total
+    return output

@@ -66,6 +66,9 @@ class GraphVAE(nn.Module):
     resblk_num: int = 2
     channels: Tuple[int, ...] = DEFAULT_CHANNELS
     use_checkpoint: bool = True
+    # optional per-node color regression (the reference's `load_color` /
+    # geometry_color_loss capability, `loss.py:180-197`); 0 = off
+    color_channel: int = 0
 
     def setup(self):
         depth, ds = self.depth, self.depth_stop
@@ -121,6 +124,11 @@ class GraphVAE(nn.Module):
             PredictHead(ch[d], 4, name=f"regress_{i}")
             for i, d in enumerate(range(ds, self.depth_out + 1))
         ]
+        if self.color_channel > 0:
+            self.color_heads = [
+                PredictHead(ch[d], self.color_channel, name=f"color_{i}")
+                for i, d in enumerate(range(ds, self.depth_out + 1))
+            ]
 
     # ------------------------------------------------------------------
     def encode(self, g: DualGraph):
@@ -155,15 +163,21 @@ class GraphVAE(nn.Module):
         x = self.post_KL_conv(code)
         x = self.decoder_mid_1(x, g.level(ds))
         x = self.decoder_mid_2(x, g.level(ds))
-        logits, reg_voxs = {}, {}
+        logits, reg_voxs, colors = {}, {}, {}
         for i, d in enumerate(range(ds, self.depth_out + 1)):
             if d > ds:
                 x = self.upsamples[i - 1](x, g, d)
             x, logits[d] = self._decode_level(i, d, x, g)
             reg = self.regress[i](x, g.level(d))
             reg_voxs[d] = graph_ops.graph_to_level_arrays(reg, g, d)
-        return {"logits": logits, "reg_voxs": reg_voxs, "octree_out": g.octree,
-                "graph_out": g}
+            if self.color_channel > 0:
+                col = self.color_heads[i](x, g.level(d))
+                colors[d] = graph_ops.graph_to_level_arrays(col, g, d)
+        out = {"logits": logits, "reg_voxs": reg_voxs, "octree_out": g.octree,
+               "graph_out": g}
+        if self.color_channel > 0:
+            out["colors"] = colors
+        return out
 
     def decode_grow(self, code, g: DualGraph) -> Dict:
         """Growing decode (inference): split each level from predicted
@@ -175,7 +189,7 @@ class GraphVAE(nn.Module):
         x = self.post_KL_conv(code)
         x = self.decoder_mid_1(x, g.level(ds))
         x = self.decoder_mid_2(x, g.level(ds))
-        logits, reg_voxs = {}, {}
+        logits, reg_voxs, colors = {}, {}, {}
         for i, d in enumerate(range(ds, self.depth_out + 1)):
             if d > ds:
                 x = self.upsamples[i - 1](x, g, d)
@@ -187,8 +201,14 @@ class GraphVAE(nn.Module):
                 g = extend_dual_graph(g.replace(octree=octree), octree)
             reg = self.regress[i](x, g.level(d))
             reg_voxs[d] = graph_ops.graph_to_level_arrays(reg, g, d)
-        return {"logits": logits, "reg_voxs": reg_voxs, "octree_out": octree,
-                "graph_out": g}
+            if self.color_channel > 0:
+                col = self.color_heads[i](x, g.level(d))
+                colors[d] = graph_ops.graph_to_level_arrays(col, g, d)
+        out = {"logits": logits, "reg_voxs": reg_voxs, "octree_out": octree,
+               "graph_out": g}
+        if self.color_channel > 0:
+            out["colors"] = colors
+        return out
 
     # ------------------------------------------------------------------
     def __call__(self, g_in: DualGraph, g_out: Optional[DualGraph],

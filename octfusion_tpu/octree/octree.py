@@ -362,6 +362,7 @@ def build_octree(
     points: jnp.ndarray,
     normals: jnp.ndarray,
     spec: OctreeSpec,
+    features: Optional[jnp.ndarray] = None,
 ) -> Octree:
     """Build a single-sample octree from points in [-1, 1]^3 (jittable).
 
@@ -369,7 +370,8 @@ def build_octree(
     (`dual_octree.py:343-360`): the finest-level signal is the per-node
     averaged unit normal (3ch) plus the mean displacement of the contained
     points along that normal, measured from the node centre in node units
-    (1ch).
+    (1ch).  Optional per-point ``features`` (e.g. colors,
+    `dualoctree_snet.py:43-44`) are averaged per node and appended.
     """
     assert spec.batch_size == 1
     depth, full_depth = spec.depth, spec.full_depth
@@ -416,6 +418,12 @@ def build_octree(
     favg = fsum / cnt
     disp = jnp.sum(navg * (favg - 0.5), axis=-1, keepdims=True)
     occ_signal = jnp.concatenate([navg, disp], axis=-1)
+    if features is not None:
+        sfeat = features[order]
+        fsum2 = jnp.zeros(
+            (cap_f, features.shape[1]), jnp.float32
+        ).at[rank].add(sfeat)
+        occ_signal = jnp.concatenate([occ_signal, fsum2 / cnt], axis=-1)
 
     # assemble levels
     keys, batch, child = [], [], []
@@ -531,9 +539,12 @@ def merge_octrees(octrees: Sequence[Octree]) -> Octree:
         batch.append(mb)
         child.append(mc)
         if d == spec0.depth:
-            sig = jnp.stack([o.signal for o in octrees])  # [B, cap1, 4]
-            signal = jnp.zeros((capm, 4), jnp.float32).at[tgt.reshape(-1)].set(
-                jnp.where(valid[..., None], sig, 0.0).reshape(-1, 4),
+            sig = jnp.stack([o.signal for o in octrees])  # [B, cap1, C]
+            cs = sig.shape[-1]
+            signal = jnp.zeros((capm, cs), jnp.float32).at[
+                tgt.reshape(-1)
+            ].set(
+                jnp.where(valid[..., None], sig, 0.0).reshape(-1, cs),
                 mode="drop",
             )
 

@@ -249,3 +249,33 @@ def neural_mpu(
             corner_cache=cache,
         )
     return out
+
+
+def mpu_interp(
+    pos: jnp.ndarray,
+    pt_batch: jnp.ndarray,
+    val_levels: Dict[int, jnp.ndarray],
+    octree: Octree,
+    full_depth: int,
+    depth_end: int,
+):
+    """Partition-of-unity interpolation of per-node *constant* values
+    (e.g. predicted colors): the MPU blend of `mpu_eval` with fval = the
+    node value instead of a plane.  ``val_levels[dd]``: [cap_dd, C]."""
+    n = pos.shape[0]
+    c = val_levels[depth_end].shape[1]
+    num = jnp.zeros((n, c), jnp.float32)
+    den = jnp.zeros((n,), jnp.float32)
+    for dd in range(full_depth, depth_end + 1):
+        idx, _, w, valid = octree_corner_info(octree, dd, pos, pt_batch)
+        cap = octree.spec.node_caps[dd]
+        idx_c = jnp.clip(idx, 0, cap - 1)
+        if dd < depth_end:
+            use = valid & (octree.child[dd][idx_c] < 0)
+        else:
+            use = valid
+        vals = val_levels[dd][idx_c.reshape(-1)].reshape(n, 8, c)
+        wm = jnp.where(use, w, 0.0)
+        num = num + jnp.sum(wm[..., None] * vals, axis=1)
+        den = den + jnp.sum(wm, axis=-1)
+    return num / (den[:, None] + 1e-8)

@@ -152,6 +152,12 @@ def make_dp_sample(solver, mesh: Mesh, steps=None, resolution: int = 256,
         g = build_dual_graph(
             octree, solver.edge_factor, up_to=solver.small_depth
         )
+        from ..models.union_solver import use_fused_conv
+
+        if use_fused_conv():
+            from ..octree.dual_graph import with_conv_plans
+
+            g = with_conv_plans(g)
         code = solver.sample_hr(
             params, k2, g, batch_size=1,
             label=None if label is None else label[:1],

@@ -312,10 +312,17 @@ def _active_cells(grid: jnp.ndarray, cap: int, level: float = 0.0):
     counts = jnp.sum(act.astype(jnp.int32), axis=1)
 
     def pick(a, vals):
-        order = jnp.argsort(~a, stable=True)[:cap]
-        ok = a[order]
-        ids = jnp.where(ok, order, -1).astype(jnp.int32)
-        v = jnp.where(ok[:, None], vals[order], 0).astype(jnp.float16)
+        # cumsum compaction (no 16.7M-element sort): rank of each active
+        # cell -> scatter its id, then gather the 8 corner values
+        rank = jnp.cumsum(a.astype(jnp.int32)) - 1
+        tgt = jnp.where(a & (rank < cap), rank, cap)
+        ids = jnp.full((cap + 1,), -1, jnp.int32).at[tgt].set(
+            jnp.arange(a.shape[0], dtype=jnp.int32), mode="drop"
+        )[:cap]
+        ok = ids >= 0
+        v = jnp.where(
+            ok[:, None], vals[jnp.clip(ids, 0, a.shape[0] - 1)], 0
+        ).astype(jnp.float16)
         return ids, v
 
     ids, vals = jax.vmap(pick)(act, stack.reshape(b, m * m * m, 8))

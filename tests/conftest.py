@@ -14,3 +14,13 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compile cache: CPU compiles dominate suite wall time; repeat
+# runs become tracing-only.  A tests-specific directory so TPU artifacts
+# (from bench/train) and CPU test artifacts never mix.
+from octfusion_tpu.utils import jaxcache  # noqa: E402
+
+jaxcache.enable(
+    os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                 ".jax_cache_tests")
+)

@@ -318,3 +318,36 @@ def test_hr_noise_pad_roundtrip():
     assert np.allclose(np.sort(padded[0][mask], axis=None),
                        np.sort(noise[0], axis=None))
     assert np.all(padded[0][~mask] == 0)
+
+
+def test_ddim_eta0_deterministic():
+    """eta=0 (DDIM) ignores the noise stream and is fully deterministic;
+    a perfect denoiser recovers x0 exactly in one step chain."""
+    from octfusion_tpu.diffusion import sampler, schedule
+
+    log_snr = schedule.get_log_snr("linear")
+    shape = (2, 8)
+    x0_true = jnp.asarray(
+        np.random.RandomState(1).normal(size=shape).astype(np.float32)
+    )
+
+    out1 = sampler.sample_loop(
+        lambda x, tb, xs: x0_true, jax.random.PRNGKey(0), shape, 2, 8,
+        log_snr, df_type="x0", eta=0.0,
+    )
+    out2 = sampler.sample_loop(
+        lambda x, tb, xs: x0_true, jax.random.PRNGKey(99), shape, 2, 8,
+        log_snr, df_type="x0", eta=0.0,
+    )
+    # a perfect x0 predictor converges to x0 up to the terminal noise floor
+    # sigma(t=0) ~ 1e-2 regardless of the start noise
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(x0_true),
+                               atol=0.08)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(x0_true),
+                               atol=0.08)
+    # same key -> bitwise deterministic
+    out3 = sampler.sample_loop(
+        lambda x, tb, xs: x0_true, jax.random.PRNGKey(0), shape, 2, 8,
+        log_snr, df_type="x0", eta=0.0,
+    )
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out3))

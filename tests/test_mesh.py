@@ -55,3 +55,36 @@ def test_sample_surface():
     n = 33
     r = np.linalg.norm((pts + 0.5) / n * 2 - 1, axis=-1)
     assert np.abs(r - 0.6).mean() < 0.03
+
+
+def test_winding_number_signs():
+    """Generalized winding number classifies inside/outside correctly, even
+    with a hole in the mesh (where the nearest-normal heuristic breaks)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from prepare_dataset import winding_number
+
+    from octfusion_tpu.utils import mesh as mesh_utils
+
+    n = 25
+    coord = (np.arange(n) + 0.5) / n * 2 - 1
+    g = np.stack(np.meshgrid(coord, coord, coord, indexing="ij"), -1)
+    sdf = np.linalg.norm(g, axis=-1) - 0.6
+    v, f = mesh_utils.marching_tetrahedra(sdf, 0.0)
+    v = (v + 0.5) / n * 2 - 1
+
+    rng = np.random.RandomState(0)
+    q = rng.uniform(-0.9, 0.9, size=(300, 3)).astype(np.float32)
+    r = np.linalg.norm(q, axis=-1)
+    clear = np.abs(r - 0.6) > 0.1
+    w = winding_number(v, f, q)
+    inside = w > 0.5
+    np.testing.assert_array_equal(inside[clear], (r < 0.6)[clear])
+
+    # open mesh: drop faces near the +z pole; points well away from the
+    # hole must still classify correctly
+    keep = v[f].mean(1)[:, 2] < 0.45
+    f2 = f[keep]
+    w2 = winding_number(v, f2, q)
+    far = clear & (q[:, 2] < 0.2)
+    np.testing.assert_array_equal((w2 > 0.5)[far], (r < 0.6)[far])

@@ -73,3 +73,31 @@ def test_voxel_cube_mesh():
             edges[k] = edges.get(k, 0) + 1
     # (vertex duplication per face means exact edge pairing is on coords)
     assert all(c % 2 == 0 for c in edges.values())
+
+
+def test_raster_renderer_sphere():
+    """Triangle rasteriser: a sphere renders as a shaded disc in every view;
+    mesh defects (removed faces) change the image — the property the
+    point-splat renderer could not see."""
+    v, f = sphere_mesh()
+    imgs = render.render_mesh_views_raster(v, f, image_size=64, n_views=4)
+    assert imgs.shape == (4, 64, 64)
+    for im in imgs:
+        cover = (im > 0).mean()
+        assert 0.1 < cover < 0.8, cover
+        # brightest near silhouette centre (headlight Lambertian)
+        assert im[28:36, 28:36].max() > 0.8
+    # knock a patch of faces out: the hole must be visible in some view
+    f2 = f[: int(len(f) * 0.7)]
+    imgs2 = render.render_mesh_views_raster(v, f2, image_size=64, n_views=4)
+    assert np.abs(imgs2 - imgs).max() > 0.3
+
+
+def test_raster_matches_reference_views():
+    assert render.FRONT_VECTORS.shape == (20, 3)
+    # all directions distinct and roughly unit after normalisation
+    n = render.FRONT_VECTORS / np.linalg.norm(
+        render.FRONT_VECTORS, axis=1, keepdims=True
+    )
+    d = n @ n.T - 2 * np.eye(20)
+    assert d.max() < 0.999

@@ -47,6 +47,10 @@ def main():
     p.add_argument("--points", type=int, default=2048)
     p.add_argument("--emd", action="store_true")
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--fid", action="store_true",
+                   help="also compute per-view shading FID on mesh renders "
+                        "(needs OCTFUSION_INCEPTION_WEIGHTS)")
+    p.add_argument("--fid_views", type=int, default=20)
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -61,6 +65,12 @@ def main():
           f"({args.points} pts each)")
     res = evaluation.evaluate_point_sets(sp, rp, batch=args.batch,
                                          emd=args.emd)
+    if args.fid:
+        from octfusion_tpu.metrics import fid as fid_lib
+
+        res["shading_fid"] = fid_lib.shading_fid(
+            s_paths, r_paths, n_views=args.fid_views
+        )
     print(json.dumps(res, indent=2))
     if args.out:
         with open(args.out, "w") as fh:

@@ -9,9 +9,11 @@ input OBJ it writes the per-shape directory layout the reference consumes
     <out>/<shape>/sdf.npz          points, sdf, grad    (SDF supervision)
 
 SDF values come from nearest-surface-point distance (scipy cKDTree over a
-dense surface sampling) signed by the surface normal at the nearest point —
-exact for watertight meshes away from sharp creases; the reference achieves
-the same via a 128^3 mesh2sdf grid (`repair_mesh.py:122-156`).
+dense surface sampling).  The sign comes from the generalized winding
+number of the triangle mesh by default (robust for the non-watertight
+ShapeNet meshes that motivated the reference's whole mesh2sdf repair step,
+`repair_mesh.py:122-156`); ``--sign normal`` falls back to the cheaper
+nearest-normal heuristic (exact only for clean watertight surfaces).
 
 Usage:
     python tools/prepare_dataset.py --meshes 'data/raw/*.obj' \
@@ -39,6 +41,7 @@ def mesh_to_shards(
     point_scale: float = 0.5,
     near_std: float = 0.02,
     seed: int = 0,
+    sign_method: str = "winding",
 ):
     from octfusion_tpu.utils import mesh as mesh_utils
 
@@ -70,8 +73,12 @@ def mesh_to_shards(
     tree = cKDTree(surf)
     dist, idx = tree.query(queries, k=1)
     diff = queries - surf[idx]
-    sign = np.sign(np.sum(diff * nrm[idx], axis=-1))
-    sign[sign == 0] = 1.0
+    if sign_method == "winding":
+        w = winding_number(verts, faces, queries)
+        sign = np.where(w > 0.5, -1.0, 1.0)
+    else:
+        sign = np.sign(np.sum(diff * nrm[idx], axis=-1))
+        sign[sign == 0] = 1.0
     sdf = (dist * sign).astype(np.float32)
     grad = diff / np.maximum(dist[:, None], 1e-9) * sign[:, None]
 
@@ -84,6 +91,43 @@ def mesh_to_shards(
         os.path.join(out_dir, "sdf.npz"),
         points=queries, sdf=sdf, grad=grad.astype(np.float32),
     )
+
+
+def winding_number(verts: np.ndarray, faces: np.ndarray,
+                   queries: np.ndarray, chunk: int = 2048) -> np.ndarray:
+    """Generalized winding number of the mesh at each query (Jacobson et
+    al.): w = sum of per-triangle solid angles / 4pi, robust inside/outside
+    classification even for open or self-intersecting meshes (w degrades
+    continuously instead of flipping).  Solid angle via van
+    Oosterom-Strackee; chunked jax on CPU for throughput."""
+    import jax
+    import jax.numpy as jnp
+
+    tri = jnp.asarray(verts[faces], jnp.float32)        # [T, 3, 3]
+
+    @jax.jit
+    def chunk_w(q):                                     # [C, 3]
+        a = tri[None, :, 0] - q[:, None]                # [C, T, 3]
+        b = tri[None, :, 1] - q[:, None]
+        c = tri[None, :, 2] - q[:, None]
+        la = jnp.linalg.norm(a, axis=-1)
+        lb = jnp.linalg.norm(b, axis=-1)
+        lc = jnp.linalg.norm(c, axis=-1)
+        num = jnp.sum(a * jnp.cross(b, c), axis=-1)
+        den = (
+            la * lb * lc
+            + jnp.sum(a * b, -1) * lc
+            + jnp.sum(b * c, -1) * la
+            + jnp.sum(c * a, -1) * lb
+        )
+        omega = 2.0 * jnp.arctan2(num, den)
+        return jnp.sum(omega, axis=-1) / (4.0 * jnp.pi)
+
+    out = np.empty((len(queries),), np.float32)
+    for c0 in range(0, len(queries), chunk):
+        q = jnp.asarray(queries[c0:c0 + chunk], jnp.float32)
+        out[c0:c0 + len(q)] = np.asarray(chunk_w(q))
+    return out
 
 
 def main():
