@@ -22,10 +22,10 @@ from ..diffusion import sampler
 from ..nn.unet_union import UNetUnion
 from ..nn.vae import GraphVAE
 from ..octree import split_codec
-from ..octree.dual_graph import build_dual_graph
+from ..octree.dual_graph import build_dual_graph, with_conv_plans
 from ..utils import sdf as sdf_utils
 from .common import batch_to_graph, batch_to_graph_jit
-from .union_solver import UnionSolver
+from .union_solver import UnionSolver, use_fused_conv
 
 
 class Union3TSolver(UnionSolver):
@@ -178,7 +178,10 @@ class Union3TSolver(UnionSolver):
 
         def grow_small(split):
             o = split_codec.split2octree_small(split, spec)
-            return o, build_dual_graph(o, self.edge_factor, up_to=self.hr_depth)
+            g = build_dual_graph(o, self.edge_factor, up_to=self.hr_depth)
+            if use_fused_conv():
+                g = with_conv_plans(g)
+            return o, g
 
         octree_small, g6 = self._jit(f"grow6_{batch_size}", grow_small)(
             split_small
@@ -197,9 +200,10 @@ class Union3TSolver(UnionSolver):
         def grow_large(o, split_full):
             cur = split_full[g6.spec.cur_off(self.hr_depth):]
             o2 = split_codec.split2octree_large(o, cur, self.hr_depth)
-            return o2, build_dual_graph(
-                o2, self.edge_factor, up_to=self.code_depth
-            )
+            g = build_dual_graph(o2, self.edge_factor, up_to=self.code_depth)
+            if use_fused_conv():
+                g = with_conv_plans(g)
+            return o2, g
 
         octree_large, g8 = self._jit(f"grow8_{batch_size}", grow_large)(
             octree_small, split_large
