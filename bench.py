@@ -43,7 +43,6 @@ def main():
     from octfusion_tpu.models.union_solver import UnionSolver
     from octfusion_tpu.models.vae_solver import VAESolver
     from octfusion_tpu.octree import morton
-    from octfusion_tpu.utils import mesh as mesh_utils
     from octfusion_tpu.utils import sdf as sdf_utils
 
     steps = int(os.environ.get("BENCH_STEPS", "200"))
@@ -93,11 +92,11 @@ def main():
         )
         octree_out = out["decode_out"]["octree_out"]
         reg = analytic_reg_jit(octree_out)
-        grid = sdf_utils.calc_sdf_compact(
+        meshes = sdf_utils.extract_meshes_compact(
             reg, octree_out, m.full_depth, m.depth_out, 1, size=resolution,
             bbmin=-cfg.solver.sdf_scale, bbmax=cfg.solver.sdf_scale,
         )
-        verts, faces = mesh_utils.marching_tetrahedra(grid[0], 0.0)
+        verts, faces = meshes[0]
         return len(verts), len(faces)
 
     # warm-up compiles every stage

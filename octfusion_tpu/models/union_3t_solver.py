@@ -165,7 +165,7 @@ class Union3TSolver(UnionSolver):
     def sample(self, params, vae_params, key, batch_size: int = 1,
                label=None, steps: Optional[int] = None,
                resolution: Optional[int] = None, save_paths=None,
-               split_small=None):
+               split_small=None, fast_mesh: bool = False):
         """Three-hop cascade (`octfusion_model_union_3t.py:152-214`)."""
         m = self.cfg.model
         k1, k2, k3 = jax.random.split(key, 3)
@@ -230,18 +230,30 @@ class Union3TSolver(UnionSolver):
             ),
         )(vae_params, code, g8)
         res = resolution or self.cfg.solver.resolution
-        sdfs = sdf_utils.calc_sdf(
-            out["reg_voxs"][m.depth_out], out["octree_out"],
-            m.full_depth, m.depth_out, batch_size=batch_size, size=res,
-            bbmin=-self.cfg.solver.sdf_scale, bbmax=self.cfg.solver.sdf_scale,
-        )
-        if save_paths is not None:
-            sdf_utils.export_meshes(
-                sdfs, save_paths,
+        if save_paths is not None and fast_mesh:
+            # compact-cell path: no dense host grid, marching on active cells
+            sdf_utils.export_meshes_compact(
+                out["reg_voxs"][m.depth_out], out["octree_out"],
+                m.full_depth, m.depth_out, save_paths, size=res,
                 bbmin=-self.cfg.solver.sdf_scale,
                 bbmax=self.cfg.solver.sdf_scale,
                 mesh_scale=self.cfg.data_test.point_scale,
             )
+            sdfs = None
+        else:
+            sdfs = sdf_utils.calc_sdf(
+                out["reg_voxs"][m.depth_out], out["octree_out"],
+                m.full_depth, m.depth_out, batch_size=batch_size, size=res,
+                bbmin=-self.cfg.solver.sdf_scale,
+                bbmax=self.cfg.solver.sdf_scale,
+            )
+            if save_paths is not None:
+                sdf_utils.export_meshes(
+                    sdfs, save_paths,
+                    bbmin=-self.cfg.solver.sdf_scale,
+                    bbmax=self.cfg.solver.sdf_scale,
+                    mesh_scale=self.cfg.data_test.point_scale,
+                )
         return {
             "split_small": split_small, "split_large": split_large,
             "code": code, "sdfs": sdfs, "decode_out": out,

@@ -277,7 +277,8 @@ class UnionSolver:
     def sample(self, params, vae_params, key, batch_size: int = 1,
                label=None, steps: Optional[int] = None,
                resolution: Optional[int] = None, save_paths=None,
-               split_small=None, compute_sdf: bool = True):
+               split_small=None, compute_sdf: bool = True,
+               fast_mesh: bool = False):
         """Full generation cascade, each stage jitted once
         (`octfusion_model_union.py:354-401`)."""
         m = self.cfg.model
@@ -324,18 +325,30 @@ class UnionSolver:
                 "decode_out": out,
             }
         res = resolution or self.cfg.solver.resolution
-        sdfs = sdf_utils.calc_sdf(
-            out["reg_voxs"][m.depth_out], out["octree_out"],
-            m.full_depth, m.depth_out, batch_size=batch_size, size=res,
-            bbmin=-self.cfg.solver.sdf_scale, bbmax=self.cfg.solver.sdf_scale,
-        )
-        if save_paths is not None:
-            sdf_utils.export_meshes(
-                sdfs, save_paths,
+        if save_paths is not None and fast_mesh:
+            # compact-cell path: no dense host grid, marching on active cells
+            sdf_utils.export_meshes_compact(
+                out["reg_voxs"][m.depth_out], out["octree_out"],
+                m.full_depth, m.depth_out, save_paths, size=res,
                 bbmin=-self.cfg.solver.sdf_scale,
                 bbmax=self.cfg.solver.sdf_scale,
                 mesh_scale=self.cfg.data_test.point_scale,
             )
+            sdfs = None
+        else:
+            sdfs = sdf_utils.calc_sdf(
+                out["reg_voxs"][m.depth_out], out["octree_out"],
+                m.full_depth, m.depth_out, batch_size=batch_size, size=res,
+                bbmin=-self.cfg.solver.sdf_scale,
+                bbmax=self.cfg.solver.sdf_scale,
+            )
+            if save_paths is not None:
+                sdf_utils.export_meshes(
+                    sdfs, save_paths,
+                    bbmin=-self.cfg.solver.sdf_scale,
+                    bbmax=self.cfg.solver.sdf_scale,
+                    mesh_scale=self.cfg.data_test.point_scale,
+                )
         return {
             "split_small": split_small,
             "octree_small": octree_small,

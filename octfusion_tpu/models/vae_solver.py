@@ -118,7 +118,7 @@ class VAESolver:
 
     # ------------------------------------------------------------------
     def reconstruct(self, params, batch, key, resolution: Optional[int] = None,
-                    save_paths=None):
+                    save_paths=None, fast_mesh: bool = False):
         """Encode + growing decode + SDF grid (+ optional mesh export)
         (`octfusion_model_vae.py:189-205`)."""
         m = self.cfg.model
@@ -145,6 +145,16 @@ class VAESolver:
             lambda p, c, g: self.vae.apply(p, c, g, method=GraphVAE.decode_grow)
         )(params, mean, g_small)
         res = resolution or self.cfg.solver.resolution
+        if save_paths is not None and fast_mesh:
+            # compact-cell path: no dense host grid, marching on active cells
+            sdf_utils.export_meshes_compact(
+                out["reg_voxs"][m.depth_out], out["octree_out"],
+                m.full_depth, m.depth_out, save_paths, size=res,
+                bbmin=-self.cfg.solver.sdf_scale,
+                bbmax=self.cfg.solver.sdf_scale,
+                mesh_scale=self.cfg.data_test.point_scale,
+            )
+            return None, out
         sdfs = sdf_utils.calc_sdf(
             out["reg_voxs"][m.depth_out], out["octree_out"],
             m.full_depth, m.depth_out,

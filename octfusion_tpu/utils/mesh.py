@@ -32,6 +32,165 @@ _CORNER_OFF = np.array(
 )
 
 
+
+# Tet edge list: the 6 (corner, corner) pairs of a tetrahedron.
+_TET_EDGES = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+_EDGE_ID = {e: i for i, e in enumerate(_TET_EDGES)}
+
+
+def _build_case_table():
+    """For each of the 16 sign codes: up to 2 triangles, each 3 edge ids
+    into ``_TET_EDGES``; -1 = no triangle.  The linear edge interpolation
+    is symmetric in its endpoints, so edge storage order is irrelevant."""
+    tri_tab = np.full((16, 2, 3), -1, np.int64)
+
+    def eid(i, j):
+        if (i, j) in _EDGE_ID:
+            return _EDGE_ID[(i, j)]
+        return _EDGE_ID[(j, i)]
+
+    for case in range(1, 15):
+        ins = [i for i in range(4) if (case >> i) & 1]
+        outs = [i for i in range(4) if not (case >> i) & 1]
+        if len(ins) == 1:
+            i = ins[0]
+            tri_tab[case, 0] = [eid(i, outs[0]), eid(i, outs[1]),
+                                eid(i, outs[2])]
+        elif len(ins) == 3:
+            o = outs[0]
+            tri_tab[case, 0] = [eid(ins[0], o), eid(ins[1], o),
+                                eid(ins[2], o)]
+        else:
+            i0, i1 = ins
+            o0, o1 = outs
+            p00, p01 = eid(i0, o0), eid(i0, o1)
+            p10, p11 = eid(i1, o0), eid(i1, o1)
+            tri_tab[case, 0] = [p00, p01, p11]
+            tri_tab[case, 1] = [p00, p11, p10]
+    return tri_tab
+
+
+_TRI_TABLE = _build_case_table()
+
+
+def _build_flip_table():
+    """[6, 16, 2] bool: whether triangle s of (tet, case) must be flipped so
+    its normal points toward positive values.  Within a tet the emitted
+    surface comes from the tet-LINEAR interpolant, whose gradient is
+    constant — so winding vs gradient is a constant of (tet, case), not of
+    the data.  Evaluated once on a canonical sign assignment."""
+    flip = np.zeros((len(_TETS), 16, 2), bool)
+    for ti, tet in enumerate(_TETS):
+        p = _CORNER_OFF[tet].astype(np.float64)   # [4, 3]
+        # gradient basis of the linear interpolant on this tet:
+        # f(x) = v0 + (v - v0) · B (x - p0) with B = inv(edge matrix)
+        e = (p[1:] - p[0]).T                      # [3, 3]
+        binv = np.linalg.inv(e)
+        for case in range(1, 15):
+            v = np.where([(case >> i) & 1 for i in range(4)], -1.0, 1.0)
+            grad = binv.T @ (v[1:] - v[0])
+            for s in range(2):
+                e3 = _TRI_TABLE[case, s]
+                if e3[0] < 0:
+                    continue
+                pts = []
+                for eix in e3:
+                    i, j = _TET_EDGES[eix]
+                    a, b = v[i], v[j]
+                    t = a / (a - b)
+                    pts.append(p[i] + t * (p[j] - p[i]))
+                nrm = np.cross(pts[1] - pts[0], pts[2] - pts[0])
+                flip[ti, case, s] = float(nrm @ grad) < 0
+    return flip
+
+
+_FLIP_TABLE = _build_flip_table()
+
+
+def _march_cells(cube_origin: np.ndarray, vals: np.ndarray):
+    """Marching tetrahedra over explicit active cells.
+
+    ``cube_origin [M, 3]`` integer voxel origins, ``vals [M, 8]``
+    level-subtracted corner values (x-major corner order).  Returns welded
+    (verts, faces) with triangles oriented toward positive SDF (winding is
+    a constant of (tet, sign-case) — ``_FLIP_TABLE`` — so no per-triangle
+    normal/gradient work).  Interpolation happens only for the gathered
+    triangle vertices, in float32."""
+    verts_list = []
+    faces_list = []
+    vcount = 0
+    vals = np.ascontiguousarray(vals, np.float32)
+    ii_e = np.array([e[0] for e in _TET_EDGES])
+    jj_e = np.array([e[1] for e in _TET_EDGES])
+    for ti, tet in enumerate(_TETS):
+        tv = vals[:, tet]                        # [M,4]
+        inside = tv < 0
+        code = (
+            inside[:, 0].astype(np.int64)
+            + 2 * inside[:, 1]
+            + 4 * inside[:, 2]
+            + 8 * inside[:, 3]
+        )
+        active = (code > 0) & (code < 15)
+        if not active.any():
+            continue
+        tv_a = tv[active]
+        code_a = code[active]
+        origin_a = cube_origin[active].astype(np.float32)
+        cpos = _CORNER_OFF[tet].astype(np.float32)        # [4, 3]
+
+        edges2 = _TRI_TABLE[code_a]              # [Ma, 2, 3]
+        for s in range(2):
+            e3 = edges2[:, s]                    # [Ma, 3]
+            have = e3[:, 0] >= 0
+            if not have.any():
+                continue
+            e3h = e3[have]                       # [k, 3] edge ids
+            tv_h = tv_a[have]                    # [k, 4]
+            i_ix = ii_e[e3h]                     # [k, 3] tet corner ids
+            j_ix = jj_e[e3h]
+            a = np.take_along_axis(tv_h, i_ix, 1)
+            b = np.take_along_axis(tv_h, j_ix, 1)
+            t = a / np.where(np.abs(a - b) < 1e-12, 1e-12, a - b)
+            t = np.clip(t, 0.0, 1.0)[..., None]
+            pi = cpos[i_ix]                      # [k, 3, 3]
+            pj = cpos[j_ix]
+            tri = origin_a[have][:, None, :] + pi + t * (pj - pi)
+            fl = _FLIP_TABLE[ti, :, s][code_a[have]]
+            if fl.any():
+                tri[fl] = tri[fl][:, ::-1]
+            k = tri.shape[0]
+            verts_list.append(tri.reshape(-1, 3))
+            faces_list.append(
+                np.arange(3 * k, dtype=np.int64).reshape(k, 3) + vcount
+            )
+            vcount += 3 * k
+
+    if not verts_list:
+        return np.zeros((0, 3)), np.zeros((0, 3), np.int64)
+    verts = np.concatenate(verts_list, 0)
+    faces = np.concatenate(faces_list, 0)
+
+    # weld duplicate vertices (quantised) to get a manifold-ish mesh;
+    # pack the quantised coords into one int64 (21 bits/axis) — unique on a
+    # scalar key is ~3x faster than on a structured record
+    key3 = np.round(verts * 1024.0).astype(np.int64)
+    key = (key3[:, 0] << 42) | ((key3[:, 1] & 0x1FFFFF) << 21) | (
+        key3[:, 2] & 0x1FFFFF
+    )
+    _, uniq_idx, inv = np.unique(key, return_index=True, return_inverse=True)
+    verts_w = verts[uniq_idx]
+    faces_w = inv.reshape(-1)[faces]
+    # drop degenerate faces
+    ok = (
+        (faces_w[:, 0] != faces_w[:, 1])
+        & (faces_w[:, 1] != faces_w[:, 2])
+        & (faces_w[:, 0] != faces_w[:, 2])
+    )
+    faces_w = faces_w[ok]
+    return verts_w, faces_w
+
+
 def marching_tetrahedra(sdf: np.ndarray, level: float = 0.0):
     """Extract the ``level`` iso-surface of a dense [N,N,N] SDF grid.
 
@@ -59,129 +218,26 @@ def marching_tetrahedra(sdf: np.ndarray, level: float = 0.0):
     for c in range(8):
         ox, oy, oz = _CORNER_OFF[c]
         vals[:, c] = f[ai + ox, aj + oy, ak + oz]
-
-    verts_list = []
-    faces_list = []
-    vcount = 0
-    for tet in _TETS:
-        tv = vals[:, tet]                        # [M,4]
-        inside = tv < 0
-        code = (
-            inside[:, 0].astype(np.int64)
-            + 2 * inside[:, 1]
-            + 4 * inside[:, 2]
-            + 8 * inside[:, 3]
-        )
-        active = (code > 0) & (code < 15)
-        if not active.any():
-            continue
-        tv_a = tv[active]
-        code_a = code[active]
-        origin_a = cube_origin[active]
-        corner_pos = origin_a[:, None, :] + _CORNER_OFF[tet][None, :, :]
-
-        def interp(i, j):
-            a = tv_a[:, i]
-            b = tv_a[:, j]
-            t = a / np.where(np.abs(a - b) < 1e-12, 1e-12, a - b)
-            t = np.clip(t, 0.0, 1.0)
-            return corner_pos[:, i] + t[:, None] * (
-                corner_pos[:, j] - corner_pos[:, i]
-            )
-
-        # enumerate the 14 non-trivial sign cases of a tetrahedron
-        for case in range(1, 15):
-            sel = code_a == case
-            if not sel.any():
-                continue
-            ins = [i for i in range(4) if (case >> i) & 1]
-            outs = [i for i in range(4) if not (case >> i) & 1]
-            idx = np.where(sel)[0]
-            if len(ins) == 1:
-                i = ins[0]
-                tri = np.stack(
-                    [interp(i, outs[0])[sel], interp(i, outs[1])[sel],
-                     interp(i, outs[2])[sel]],
-                    axis=1,
-                )  # [k,3,3]
-                tris = [tri]
-            elif len(ins) == 3:
-                o = outs[0]
-                tri = np.stack(
-                    [interp(ins[0], o)[sel], interp(ins[1], o)[sel],
-                     interp(ins[2], o)[sel]],
-                    axis=1,
-                )
-                tris = [tri]
-            else:  # 2 in / 2 out -> quad -> 2 triangles
-                i0, i1 = ins
-                o0, o1 = outs
-                p00 = interp(i0, o0)[sel]
-                p01 = interp(i0, o1)[sel]
-                p10 = interp(i1, o0)[sel]
-                p11 = interp(i1, o1)[sel]
-                tris = [
-                    np.stack([p00, p01, p11], axis=1),
-                    np.stack([p00, p11, p10], axis=1),
-                ]
-            for tri in tris:
-                k = tri.shape[0]
-                verts_list.append(tri.reshape(-1, 3))
-                faces_list.append(
-                    np.arange(3 * k, dtype=np.int64).reshape(k, 3) + vcount
-                )
-                vcount += 3 * k
-            del idx
-
-    if not verts_list:
-        return np.zeros((0, 3)), np.zeros((0, 3), np.int64)
-    verts = np.concatenate(verts_list, 0)
-    faces = np.concatenate(faces_list, 0)
-
-    # weld duplicate vertices (quantised) to get a manifold-ish mesh;
-    # pack the quantised coords into one int64 (21 bits/axis) — unique on a
-    # scalar key is ~3x faster than on a structured record
-    key3 = np.round(verts * 1024.0).astype(np.int64)
-    key = (key3[:, 0] << 42) | ((key3[:, 1] & 0x1FFFFF) << 21) | (
-        key3[:, 2] & 0x1FFFFF
-    )
-    _, uniq_idx, inv = np.unique(key, return_index=True, return_inverse=True)
-    verts_w = verts[uniq_idx]
-    faces_w = inv.reshape(-1)[faces]
-    # drop degenerate faces
-    ok = (
-        (faces_w[:, 0] != faces_w[:, 1])
-        & (faces_w[:, 1] != faces_w[:, 2])
-        & (faces_w[:, 0] != faces_w[:, 2])
-    )
-    faces_w = faces_w[ok]
-
-    # orient: flip triangles whose normal points against the SDF gradient
-    tri = verts_w[faces_w]
-    nrm = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
-    cent = tri.mean(1)
-    grad = _grid_gradient(f, cent)
-    flip = np.sum(nrm * grad, -1) < 0
-    faces_w[flip] = faces_w[flip][:, [0, 2, 1]]
-    return verts_w, faces_w
+    return _march_cells(cube_origin, vals)
 
 
-def _grid_gradient(f: np.ndarray, pts: np.ndarray) -> np.ndarray:
-    n = f.shape[0]
-    p = np.clip(pts, 0, n - 2)
-    i = np.floor(p).astype(np.int64)
-    g = np.stack(
-        [
-            f[np.minimum(i[:, 0] + 1, n - 1), i[:, 1], i[:, 2]]
-            - f[i[:, 0], i[:, 1], i[:, 2]],
-            f[i[:, 0], np.minimum(i[:, 1] + 1, n - 1), i[:, 2]]
-            - f[i[:, 0], i[:, 1], i[:, 2]],
-            f[i[:, 0], i[:, 1], np.minimum(i[:, 2] + 1, n - 1)]
-            - f[i[:, 0], i[:, 1], i[:, 2]],
-        ],
-        -1,
-    )
-    return g
+def marching_from_cells(
+    ids: np.ndarray, vals: np.ndarray, size: int, level: float = 0.0
+):
+    """Marching tetrahedra directly on compact active cells — no dense
+    [N,N,N] grid is ever touched (the 256³ prefilter scan is the host-side
+    wall of mesh extraction; the device already found the active cells).
+
+    ``ids [cap]`` flat cell ids into the (size-1)³ cell grid (-1 = pad),
+    ``vals [cap, 8]`` corner values in x-major corner order — the layout
+    produced by ``sdf._active_cells``.  Output identical to
+    ``marching_tetrahedra`` on the reassembled grid."""
+    m = size - 1
+    ok = ids >= 0
+    ci = ids[ok].astype(np.int64)
+    origin = np.stack([ci // (m * m), (ci // m) % m, ci % m], -1)
+    return _march_cells(origin, vals[ok].astype(np.float64) - level)
+
 
 
 _FACE_DIRS = np.array(

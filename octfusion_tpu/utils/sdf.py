@@ -330,6 +330,21 @@ def _active_cells(grid: jnp.ndarray, cap: int, level: float = 0.0):
     return ids, vals, counts, inside
 
 
+@partial(
+    jax.jit,
+    static_argnames=("full_depth", "depth_end", "size", "cap", "level"),
+)
+def _sdf_compact_device(reg_levels, octree, full_depth, depth_end, size,
+                        bbmin, bbmax, cap, level):
+    """Grid eval + active-cell extraction as ONE device program (eager ops
+    are network round-trips on the tunnelled backend)."""
+    grid = mpu_ops.mpu_grid_eval(
+        reg_levels, octree, full_depth, depth_end, size, bbmin, bbmax
+    )
+    ids, vals, counts, inside = _active_cells(grid, cap, level)
+    return ids, vals, counts, inside, grid.astype(jnp.float16)
+
+
 def calc_sdf_compact(
     reg_levels: Dict[int, jnp.ndarray],
     octree: Octree,
@@ -356,17 +371,17 @@ def calc_sdf_compact(
     weights)."""
     if cell_cap is None:
         cell_cap = 8 * size * size
-    grid = mpu_ops.mpu_grid_eval(
+    ids, vals, counts, inside, grid = _sdf_compact_device(
         reg_levels, octree, full_depth, depth_end, size,
-        jnp.float32(bbmin), jnp.float32(bbmax),
+        jnp.float32(bbmin), jnp.float32(bbmax), cell_cap, level,
     )
-    ids, vals, counts, inside = _active_cells(grid, cell_cap, level)
+    counts_h = np.asarray(counts)
+    if (counts_h > cell_cap).any():
+        # surface exceeds the cap (e.g. noise fields): dense fp16 fallback
+        return np.asarray(grid).astype(np.float32)
     ids_h = np.asarray(ids)
     vals_h = np.asarray(vals).astype(np.float32)
-    counts_h = np.asarray(counts)
     inside_h = np.asarray(inside)
-    if (counts_h > cell_cap).any():
-        return np.asarray(grid.astype(jnp.float16)).astype(np.float32)
 
     m = size - 1
     out = np.empty((batch_size, size, size, size), np.float32)
@@ -388,6 +403,79 @@ def calc_sdf_compact(
                     k += 1
         out[b] = fill
     return out
+
+
+def extract_meshes_compact(
+    reg_levels: Dict[int, jnp.ndarray],
+    octree: Octree,
+    full_depth: int,
+    depth_end: int,
+    batch_size: int = 1,
+    size: int = 256,
+    bbmin: float = -0.9,
+    bbmax: float = 0.9,
+    cell_cap: Optional[int] = None,
+    level: float = 0.0,
+):
+    """Device SDF eval + active-cell extraction + host marching WITHOUT ever
+    materialising the dense grid on the host: marching runs directly on the
+    compact cells (``mesh.marching_from_cells``).  Returns a list of
+    (verts, faces) per sample, verts in voxel coordinates of the implied
+    [size]³ grid.  Falls back to the dense-grid transfer + full marching
+    when a sample's surface exceeds ``cell_cap``."""
+    from . import mesh as mesh_utils
+
+    if cell_cap is None:
+        cell_cap = 8 * size * size
+    ids, vals, counts, inside, grid = _sdf_compact_device(
+        reg_levels, octree, full_depth, depth_end, size,
+        jnp.float32(bbmin), jnp.float32(bbmax), cell_cap, level,
+    )
+    counts_h = np.asarray(counts)
+    if (counts_h > cell_cap).any():
+        g = np.asarray(grid).astype(np.float32)
+        return [
+            mesh_utils.marching_tetrahedra(g[b], level)
+            for b in range(batch_size)
+        ]
+    ids_h = np.asarray(ids)
+    vals_h = np.asarray(vals).astype(np.float32)
+    return [
+        mesh_utils.marching_from_cells(ids_h[b], vals_h[b], size, level)
+        for b in range(batch_size)
+    ]
+
+
+def export_meshes_compact(
+    reg_levels,
+    octree: Octree,
+    full_depth: int,
+    depth_end: int,
+    save_paths,
+    size: int = 256,
+    bbmin: float = -0.9,
+    bbmax: float = 0.9,
+    level: float = 0.0,
+    mesh_scale: float = 1.0,
+):
+    """End-to-end mesh export via the compact-cell path (generation CLI's
+    fast path; `octfusion_model_union.py:435-468`)."""
+    from . import mesh as mesh_utils
+
+    meshes = extract_meshes_compact(
+        reg_levels, octree, full_depth, depth_end, len(save_paths),
+        size=size, bbmin=bbmin, bbmax=bbmax, level=level,
+    )
+    written = []
+    for (verts, faces), path in zip(meshes, save_paths):
+        if len(verts) == 0:
+            written.append(None)
+            continue
+        verts = verts * ((bbmax - bbmin) / size) + bbmin
+        verts = verts * mesh_scale
+        mesh_utils.save_obj(path, verts, faces)
+        written.append(path)
+    return written
 
 
 def export_meshes(

@@ -88,3 +88,30 @@ def test_winding_number_signs():
     w2 = winding_number(v, f2, q)
     far = clear & (q[:, 2] < 0.2)
     np.testing.assert_array_equal((w2 > 0.5)[far], (r < 0.6)[far])
+
+
+def test_marching_from_cells_matches_grid():
+    """Cell-level marching equals the grid marcher on identical cells."""
+    n = 33
+    sdf = sphere_sdf(n).astype(np.float32)
+    v1, f1 = mesh.marching_tetrahedra(sdf, 0.0)
+    m = n - 1
+    corners = np.stack(
+        [sdf[dx:m + dx, dy:m + dy, dz:m + dz]
+         for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)], -1
+    )
+    act = (corners.min(-1) <= 0) & (corners.max(-1) >= 0)
+    ids = np.nonzero(act.reshape(-1))[0].astype(np.int32)
+    vals = corners.reshape(-1, 8)[ids]
+    # pad with -1 ids like the device transfer does
+    ids_p = np.concatenate([ids, np.full(7, -1, np.int32)])
+    vals_p = np.concatenate([vals, np.zeros((7, 8), np.float32)])
+    v2, f2 = mesh.marching_from_cells(ids_p, vals_p, n, 0.0)
+    assert v1.shape == v2.shape and f1.shape == f2.shape
+    k1, k2 = np.lexsort(v1.T), np.lexsort(v2.T)
+    np.testing.assert_allclose(v1[k1], v2[k2], atol=1e-9)
+    # orientation: normals outward on the sphere
+    pts = (v2 + 0.5) / n * 2 - 1
+    tri = pts[f2]
+    nrm = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    assert (np.sum(nrm * tri.mean(1), -1) > 0).mean() > 0.99

@@ -325,3 +325,41 @@ def test_calc_sdf_compact_matches_dense_marching():
         reg, o, fd, depth, 1, size=size, cell_cap=8
     )
     np.testing.assert_allclose(fb, dense, atol=1e-3)
+
+
+def test_extract_meshes_compact_matches_grid_marching():
+    """Cell-level marching on the compact transfer must produce the same
+    welded mesh as dense grid + marching_tetrahedra."""
+    from octfusion_tpu.utils import mesh as mesh_utils
+    from octfusion_tpu.utils import sdf as sdf_utils
+
+    o = make_octree(seed=21, n=200)
+    fd, depth = o.spec.full_depth, o.spec.depth
+    reg = {}
+    for dd in range(fd, depth + 1):
+        from octfusion_tpu.octree import morton as M
+
+        keys = np.asarray(o.keys[dd])
+        scale = 2**dd
+        x, y, z = (np.asarray(v) for v in M.key2xyz(jnp.asarray(keys), dd))
+        centre = (np.stack([x, y, z], -1) + 0.5) / scale * 2.0 - 1.0
+        norm = np.linalg.norm(centre, axis=-1, keepdims=True)
+        r = np.zeros((o.spec.node_caps[dd], 4), np.float32)
+        r[:, :3] = centre / np.maximum(norm, 1e-9)
+        r[:, 3] = norm[:, 0] - 0.6
+        r[~np.asarray(o.node_mask(dd))] = 0
+        reg[dd] = jnp.asarray(r)
+    size = 32
+    dense = sdf_utils.calc_sdf(reg, o, fd, depth, 1, size=size)
+    v_ref, f_ref = mesh_utils.marching_tetrahedra(dense[0], 0.0)
+    meshes = sdf_utils.extract_meshes_compact(reg, o, fd, depth, 1, size=size)
+    v, f = meshes[0]
+    assert len(v) == len(v_ref) and len(f) == len(f_ref)
+    k1 = np.lexsort(v_ref.T)
+    k2 = np.lexsort(v.T)
+    np.testing.assert_allclose(v[k2], v_ref[k1], atol=1e-3)
+    # overflow fallback path still yields a mesh
+    fb = sdf_utils.extract_meshes_compact(
+        reg, o, fd, depth, 1, size=size, cell_cap=8
+    )
+    assert len(fb[0][0]) == len(v_ref)

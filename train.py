@@ -255,11 +255,12 @@ def main():
             path = os.path.join(rdir, f"{i}.obj")
             if args.model == "vae":
                 b = collated_one(dataset, i, jnp)
-                solver.reconstruct(state.params, b, k, save_paths=[path])
+                solver.reconstruct(state.params, b, k, save_paths=[path],
+                                   fast_mesh=True)
             else:
                 solver.sample(
                     state.ema_params, vae_params, k, batch_size=1,
-                    label=label, save_paths=[path],
+                    label=label, save_paths=[path], fast_mesh=True,
                 )
             print(f"[*] wrote {path}")
         return
