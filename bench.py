@@ -85,17 +85,31 @@ def main():
 
     analytic_reg_jit = jax.jit(analytic_reg)
 
+    verbose = os.environ.get("BENCH_VERBOSE", "0") == "1"
+
+    def vsync(tag, x, t0):
+        if verbose:
+            np.asarray(jax.tree_util.tree_leaves(x)[0].reshape(-1)[:1])
+            sys.stderr.write(f"  [{tag}] {time.time() - t0:.3f}s\n")
+            return time.time()
+        return t0
+
     def run(seed):
+        t0 = time.time()
         out = solver.sample(
             state.ema_params, vae_state.params, jax.random.PRNGKey(seed),
             batch_size=1, steps=steps, compute_sdf=False,
         )
         octree_out = out["decode_out"]["octree_out"]
+        t0 = vsync("cascade", octree_out.keys[m.depth_out], t0)
         reg = analytic_reg_jit(octree_out)
+        t0 = vsync("analytic_reg", reg[m.depth_out], t0)
         meshes = sdf_utils.extract_meshes_compact(
             reg, octree_out, m.full_depth, m.depth_out, 1, size=resolution,
             bbmin=-cfg.solver.sdf_scale, bbmax=cfg.solver.sdf_scale,
         )
+        if verbose:
+            sys.stderr.write(f"  [mesh] {time.time() - t0:.3f}s\n")
         verts, faces = meshes[0]
         return len(verts), len(faces)
 

@@ -1,6 +1,6 @@
 """Fused Pallas graph-conv vs XLA segment-sum path on the current backend.
 
-    python benchmarks/bench_graph_conv.py [finest_cap] [n_convs]
+    python benchmarks/bench_graph_conv.py [finest_cap] [n_convs] [tile_t]
 
 Times a chain of ``n_convs`` convolutions (data dependence between them,
 like a network) at the hr U-Net's level/channel combinations, plus the
@@ -20,6 +20,7 @@ def sync(x):
 def main():
     cap = int(sys.argv[1]) if len(sys.argv) > 1 else 131072
     n_convs = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    tile_t = int(sys.argv[3]) if len(sys.argv) > 3 else 128
     import jax
     import jax.numpy as jnp
 
@@ -46,12 +47,14 @@ def main():
     )(o, 9, 6)
     print(f"devices={jax.devices()} cap={cap}")
 
+    plans = jax.jit(with_conv_plans, static_argnames=("tile_t",))
     t0 = time.time()
-    gp = jax.jit(with_conv_plans)(g)
+    gp = plans(g, tile_t=tile_t)
     sync(gp.level(6).conv_plan.f_offs)
-    print(f"plan build (all levels) compile+run: {time.time() - t0:.2f}s")
+    print(f"plan build (all levels, T={tile_t}) compile+run: "
+          f"{time.time() - t0:.2f}s")
     t0 = time.time()
-    gp = jax.jit(with_conv_plans)(g)
+    gp = plans(g, tile_t=tile_t)
     sync(gp.level(6).conv_plan.f_offs)
     print(f"plan build warm: {(time.time() - t0) * 1e3:.1f} ms")
 

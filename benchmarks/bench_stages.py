@@ -108,7 +108,10 @@ def main():
             jnp.float32(-0.9), jnp.float32(0.9), cap, 0.0,
         ),
     )
+    counts = np.asarray(dev[2])
     ids, vals = np.asarray(dev[0]), np.asarray(dev[1]).astype(np.float32)
+    print(f"{'active cells':24s}: counts={counts} "
+          f"valid_ids={(ids[0] >= 0).sum()} cap={cap}")
     ts = []
     for _ in range(3):
         t0 = time.time()

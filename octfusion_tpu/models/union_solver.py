@@ -38,6 +38,18 @@ def use_fused_conv() -> bool:
     return flag != "0" and jax.default_backend() == "tpu"
 
 
+def use_fused_train() -> bool:
+    """Fused convs in TRAIN steps (plan built inside the jitted step, since
+    training topology changes per batch).  Off by default until it wins on
+    the target hardware; OCTFUSION_FUSED_TRAIN=1 enables."""
+    import os
+
+    import jax
+
+    flag = os.environ.get("OCTFUSION_FUSED_TRAIN", "0")
+    return flag == "1" and jax.default_backend() == "tpu"
+
+
 class UnionSolver:
     def __init__(self, cfg: Config, stage_flag: str = "hr"):
         self.cfg = cfg
@@ -166,6 +178,16 @@ class UnionSolver:
         octree, g = batch_to_graph(
             batch["points"], batch["normals"], self.spec1, self.edge_factor
         )
+        if use_fused_train():
+            # plans only for the hr U-Net's levels (<= small_depth): that is
+            # where forward AND backward convs run; the frozen encode above
+            # small_depth stays on the XLA path
+            g = with_conv_plans(
+                g,
+                depths=tuple(
+                    range(self.cfg.model.full_depth, self.small_depth + 1)
+                ),
+            )
         ekey, dkey = jax.random.split(key)
         code = jax.lax.stop_gradient(
             self.vae.apply(

@@ -10,7 +10,7 @@ behind a slow link."""
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Dict, Optional
 
 import jax
@@ -306,7 +306,11 @@ def _active_cells(grid: jnp.ndarray, cap: int, level: float = 0.0):
     stack = jnp.stack(corners, -1)                   # [B, R-1, R-1, R-1, 8]
     mn = jnp.min(stack, -1)
     mx = jnp.max(stack, -1)
-    active = (mn <= level) & (mx >= level)
+    # exactly the marcher's emission condition (some corner < level, some
+    # >= level).  A plain mn<=level<=mx would also count level-flat cells —
+    # e.g. the all-zero regions an octree without coverage evaluates to —
+    # which emit nothing but can push a real surface past ``cap``
+    active = (mn < level) & (mx >= level)
     m = r - 1
     act = active.reshape(b, m * m * m)
     counts = jnp.sum(act.astype(jnp.int32), axis=1)
@@ -345,6 +349,25 @@ def _sdf_compact_device(reg_levels, octree, full_depth, depth_end, size,
     return ids, vals, counts, inside, grid.astype(jnp.float16)
 
 
+@lru_cache(maxsize=None)
+def _bucket_slicer(b: int):
+    """Jitted [:, :b] slice (cached per bucket so repeat calls don't
+    retrace).  Used to ship only ~count active cells instead of the full
+    static cap — the tunnel D2H is the variable-latency part of the
+    compact path."""
+    return jax.jit(lambda a: a[:, :b])
+
+
+def _fetch_compact(ids, vals, counts_h, cap: int):
+    """D2H of (ids, vals) sliced to a power-of-2 bucket >= max count."""
+    nmax = int(counts_h.max())
+    b = 1 << max(14, (max(nmax, 1) - 1).bit_length())
+    if b >= cap:
+        return np.asarray(ids), np.asarray(vals)
+    sl = _bucket_slicer(b)
+    return np.asarray(sl(ids)), np.asarray(sl(vals))
+
+
 def calc_sdf_compact(
     reg_levels: Dict[int, jnp.ndarray],
     octree: Octree,
@@ -379,8 +402,8 @@ def calc_sdf_compact(
     if (counts_h > cell_cap).any():
         # surface exceeds the cap (e.g. noise fields): dense fp16 fallback
         return np.asarray(grid).astype(np.float32)
-    ids_h = np.asarray(ids)
-    vals_h = np.asarray(vals).astype(np.float32)
+    ids_h, vals_h = _fetch_compact(ids, vals, counts_h, cell_cap)
+    vals_h = vals_h.astype(np.float32)
     inside_h = np.asarray(inside)
 
     m = size - 1
@@ -438,8 +461,8 @@ def extract_meshes_compact(
             mesh_utils.marching_tetrahedra(g[b], level)
             for b in range(batch_size)
         ]
-    ids_h = np.asarray(ids)
-    vals_h = np.asarray(vals).astype(np.float32)
+    ids_h, vals_h = _fetch_compact(ids, vals, counts_h, cell_cap)
+    vals_h = vals_h.astype(np.float32)
     return [
         mesh_utils.marching_from_cells(ids_h[b], vals_h[b], size, level)
         for b in range(batch_size)

@@ -124,3 +124,23 @@ def test_fused_kernel_node_type_concat():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
     )
+
+
+def test_fused_kernel_tile256_parity():
+    """Larger tiles halve the descriptor count (fewer (out,src) tile
+    pairs); parity must hold at tile_t=256 too."""
+    g = make_graph(seed=9, n=400)
+    gp = with_conv_plans(g, tile_t=256)
+    rng = np.random.RandomState(11)
+    d, c, cout = 4, 8, 16
+    lvl, lvlp = g.level(d), gp.level(d)
+    assert not bool(lvlp.conv_plan.overflow)
+    x = jnp.asarray(rng.normal(size=(lvl.g_cap, c)).astype(np.float32))
+    w = jnp.asarray(
+        rng.normal(size=(N_EDGE_TYPE * c, cout)).astype(np.float32) * 0.1
+    )
+    ref = graph_ops.graph_conv(x, w, lvl)
+    got = graph_ops.graph_conv(x, w, lvlp)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
