@@ -85,16 +85,19 @@ def main():
 
     analytic_reg_jit = jax.jit(analytic_reg)
 
-    verbose = os.environ.get("BENCH_VERBOSE", "0") == "1"
+    vlevel = os.environ.get("BENCH_VERBOSE", "0")
+    verbose = vlevel != "0"
 
     def vsync(tag, x, t0):
-        if verbose:
+        # level 2 syncs inside submit (breaks pipelining -- diagnostics only)
+        if vlevel == "2":
             np.asarray(jax.tree_util.tree_leaves(x)[0].reshape(-1)[:1])
             sys.stderr.write(f"  [{tag}] {time.time() - t0:.3f}s\n")
             return time.time()
         return t0
 
-    def run(seed):
+    def submit(seed):
+        """Dispatch one shape's FULL device pipeline without host syncs."""
         t0 = time.time()
         out = solver.sample(
             state.ema_params, vae_state.params, jax.random.PRNGKey(seed),
@@ -104,21 +107,41 @@ def main():
         t0 = vsync("cascade", octree_out.keys[m.depth_out], t0)
         reg = analytic_reg_jit(octree_out)
         t0 = vsync("analytic_reg", reg[m.depth_out], t0)
-        meshes = sdf_utils.extract_meshes_compact(
+        return sdf_utils.extract_meshes_submit(
             reg, octree_out, m.full_depth, m.depth_out, 1, size=resolution,
             bbmin=-cfg.solver.sdf_scale, bbmax=cfg.solver.sdf_scale,
         )
+
+    def finish(handle):
+        t0 = time.time()
+        meshes = sdf_utils.extract_meshes_finish(handle)
         if verbose:
-            sys.stderr.write(f"  [mesh] {time.time() - t0:.3f}s\n")
+            sys.stderr.write(f"  [mesh host] {time.time() - t0:.3f}s\n")
         verts, faces = meshes[0]
         return len(verts), len(faces)
 
-    # warm-up compiles every stage
-    nv, nf = run(0)
+    def submit_timed(seed):
+        t0 = time.time()
+        h = submit(seed)
+        if verbose:
+            sys.stderr.write(f"  [submit dispatch] {time.time() - t0:.3f}s\n")
+        return h
 
+    # warm-up compiles every stage
+    nv, nf = finish(submit(0))
+
+    # steady-state generation: shape i's host marching + D2H overlap shape
+    # i+1's device work (async dispatch; one device queue, so per-shape
+    # device latency is unchanged -- this measures honest throughput)
     t0 = time.time()
+    pending = submit_timed(1)
     for i in range(n_iters):
-        nv, nf = run(i + 1)
+        ti = time.time()
+        nxt = submit_timed(i + 2) if i + 1 < n_iters else None
+        nv, nf = finish(pending)
+        if verbose:
+            sys.stderr.write(f"  [iter] {time.time() - ti:.3f}s\n")
+        pending = nxt
     dt = (time.time() - t0) / n_iters
 
     print(

@@ -428,6 +428,53 @@ def calc_sdf_compact(
     return out
 
 
+def extract_meshes_submit(
+    reg_levels: Dict[int, jnp.ndarray],
+    octree: Octree,
+    full_depth: int,
+    depth_end: int,
+    batch_size: int = 1,
+    size: int = 256,
+    bbmin: float = -0.9,
+    bbmax: float = 0.9,
+    cell_cap: Optional[int] = None,
+    level: float = 0.0,
+):
+    """Dispatch the device half of compact mesh extraction WITHOUT any host
+    sync — returns a handle for :func:`extract_meshes_finish`.  Splitting
+    the two lets callers overlap shape i's host marching/D2H with shape
+    i+1's device work (generation pipelining)."""
+    if cell_cap is None:
+        cell_cap = 8 * size * size
+    ids, vals, counts, inside, grid = _sdf_compact_device(
+        reg_levels, octree, full_depth, depth_end, size,
+        jnp.float32(bbmin), jnp.float32(bbmax), cell_cap, level,
+    )
+    return (ids, vals, counts, grid, batch_size, size, cell_cap, level)
+
+
+def extract_meshes_finish(handle):
+    """Host half: fetch compact cells (bucketed) and march.  Falls back to
+    the dense-grid transfer + full marching when a sample's surface exceeds
+    the cell cap."""
+    from . import mesh as mesh_utils
+
+    ids, vals, counts, grid, batch_size, size, cell_cap, level = handle
+    counts_h = np.asarray(counts)
+    if (counts_h > cell_cap).any():
+        g = np.asarray(grid).astype(np.float32)
+        return [
+            mesh_utils.marching_tetrahedra(g[b], level)
+            for b in range(batch_size)
+        ]
+    ids_h, vals_h = _fetch_compact(ids, vals, counts_h, cell_cap)
+    vals_h = vals_h.astype(np.float32)
+    return [
+        mesh_utils.marching_from_cells(ids_h[b], vals_h[b], size, level)
+        for b in range(batch_size)
+    ]
+
+
 def extract_meshes_compact(
     reg_levels: Dict[int, jnp.ndarray],
     octree: Octree,
@@ -444,29 +491,11 @@ def extract_meshes_compact(
     materialising the dense grid on the host: marching runs directly on the
     compact cells (``mesh.marching_from_cells``).  Returns a list of
     (verts, faces) per sample, verts in voxel coordinates of the implied
-    [size]³ grid.  Falls back to the dense-grid transfer + full marching
-    when a sample's surface exceeds ``cell_cap``."""
-    from . import mesh as mesh_utils
-
-    if cell_cap is None:
-        cell_cap = 8 * size * size
-    ids, vals, counts, inside, grid = _sdf_compact_device(
-        reg_levels, octree, full_depth, depth_end, size,
-        jnp.float32(bbmin), jnp.float32(bbmax), cell_cap, level,
-    )
-    counts_h = np.asarray(counts)
-    if (counts_h > cell_cap).any():
-        g = np.asarray(grid).astype(np.float32)
-        return [
-            mesh_utils.marching_tetrahedra(g[b], level)
-            for b in range(batch_size)
-        ]
-    ids_h, vals_h = _fetch_compact(ids, vals, counts_h, cell_cap)
-    vals_h = vals_h.astype(np.float32)
-    return [
-        mesh_utils.marching_from_cells(ids_h[b], vals_h[b], size, level)
-        for b in range(batch_size)
-    ]
+    [size]³ grid."""
+    return extract_meshes_finish(extract_meshes_submit(
+        reg_levels, octree, full_depth, depth_end, batch_size, size,
+        bbmin, bbmax, cell_cap, level,
+    ))
 
 
 def export_meshes_compact(
