@@ -165,7 +165,8 @@ class Union3TSolver(UnionSolver):
     def sample(self, params, vae_params, key, batch_size: int = 1,
                label=None, steps: Optional[int] = None,
                resolution: Optional[int] = None, save_paths=None,
-               split_small=None, fast_mesh: bool = False):
+               split_small=None, fast_mesh: bool = False,
+               compute_sdf: bool = True):
         """Three-hop cascade (`octfusion_model_union_3t.py:152-214`)."""
         m = self.cfg.model
         k1, k2, k3 = jax.random.split(key, 3)
@@ -229,6 +230,11 @@ class Union3TSolver(UnionSolver):
                 vp, c, g, method=GraphVAE.decode_grow
             ),
         )(vae_params, code, g8)
+        if not compute_sdf:
+            return {
+                "split_small": split_small, "split_large": split_large,
+                "code": code, "decode_out": out,
+            }
         res = resolution or self.cfg.solver.resolution
         if save_paths is not None and fast_mesh:
             # compact-cell path: no dense host grid, marching on active cells

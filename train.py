@@ -250,19 +250,55 @@ def main():
                 for p in paths:
                     print(f"[*] wrote {p}")
             return
-        for i in my_idx:
-            k = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
-            path = os.path.join(rdir, f"{i}.obj")
-            if args.model == "vae":
+        if args.model == "vae":
+            for i in my_idx:
+                k = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
+                path = os.path.join(rdir, f"{i}.obj")
                 b = collated_one(dataset, i, jnp)
                 solver.reconstruct(state.params, b, k, save_paths=[path],
                                    fast_mesh=True)
-            else:
-                solver.sample(
-                    state.ema_params, vae_params, k, batch_size=1,
-                    label=label, save_paths=[path], fast_mesh=True,
-                )
+                print(f"[*] wrote {path}")
+            return
+        # pipelined generation: shape i's host marching + D2H overlap
+        # shape i+1's device cascade (all submits are async dispatches)
+        from octfusion_tpu.utils import mesh as mesh_lib
+        from octfusion_tpu.utils import sdf as sdf_utils
+
+        mm = cfg.model
+        sscale = cfg.solver.sdf_scale
+
+        def submit_gen(i):
+            k = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
+            out = solver.sample(
+                state.ema_params, vae_params, k, batch_size=1,
+                label=label, compute_sdf=False,
+            )
+            dec = out["decode_out"]
+            handle = sdf_utils.extract_meshes_submit(
+                dec["reg_voxs"][mm.depth_out], dec["octree_out"],
+                mm.full_depth, mm.depth_out, 1,
+                size=cfg.solver.resolution, bbmin=-sscale, bbmax=sscale,
+            )
+            return handle, os.path.join(rdir, f"{i}.obj")
+
+        def finish_gen(handle, path):
+            verts, faces = sdf_utils.extract_meshes_finish(handle)[0]
+            if len(verts) == 0:
+                print(f"[!] empty mesh, skipped {path}")
+                return
+            verts = verts * (2 * sscale / cfg.solver.resolution) - sscale
+            verts = verts * cfg.data_test.point_scale
+            mesh_lib.save_obj(path, verts, faces)
             print(f"[*] wrote {path}")
+
+        pending = None
+        for i in my_idx:
+            nxt = submit_gen(i)
+            if pending is not None:
+                finish_gen(*pending)
+            pending = nxt
+        if pending is not None:
+            finish_gen(*pending)
         return
 
     # ------------------------------------------------------------------
