@@ -234,6 +234,7 @@ class Union3TSolver(UnionSolver):
             return {
                 "split_small": split_small, "split_large": split_large,
                 "code": code, "decode_out": out,
+                "overflow": g8.any_overflow(),
             }
         res = resolution or self.cfg.solver.resolution
         if save_paths is not None and fast_mesh:
@@ -263,4 +264,5 @@ class Union3TSolver(UnionSolver):
         return {
             "split_small": split_small, "split_large": split_large,
             "code": code, "sdfs": sdfs, "decode_out": out,
+            "overflow": g8.any_overflow(),
         }

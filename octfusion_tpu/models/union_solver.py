@@ -345,6 +345,9 @@ class UnionSolver:
                 "octree_small": octree_small,
                 "code": code,
                 "decode_out": out,
+                # device scalar; fetch lazily -- True means a static cap
+                # (nodes/edges/conv-plan descriptors) truncated this shape
+                "overflow": g_small.any_overflow(),
             }
         res = resolution or self.cfg.solver.resolution
         if save_paths is not None and fast_mesh:
@@ -377,4 +380,5 @@ class UnionSolver:
             "code": code,
             "sdfs": sdfs,
             "decode_out": out,
+            "overflow": g_small.any_overflow(),
         }

@@ -189,6 +189,8 @@ class DualGraph(struct.PyTreeNode):
         ovf = jnp.any(self.octree.overflow)
         for lvl in self.levels:
             ovf = ovf | lvl.overflow
+            if lvl.conv_plan is not None:
+                ovf = ovf | lvl.conv_plan.overflow
         return ovf
 
 

@@ -279,9 +279,13 @@ def main():
                 mm.full_depth, mm.depth_out, 1,
                 size=cfg.solver.resolution, bbmin=-sscale, bbmax=sscale,
             )
-            return handle, os.path.join(rdir, f"{i}.obj")
+            return (handle, out["overflow"]), os.path.join(rdir, f"{i}.obj")
 
-        def finish_gen(handle, path):
+        def finish_gen(hov, path):
+            handle, ovf = hov
+            if bool(np.asarray(ovf)):
+                print(f"[!] static capacity overflow while generating "
+                      f"{path} -- raise capacity.finest_cap/edge_factor")
             verts, faces = sdf_utils.extract_meshes_finish(handle)[0]
             if len(verts) == 0:
                 print(f"[!] empty mesh, skipped {path}")
