@@ -172,7 +172,7 @@ def _run_fwd(plan: ConvPlan, x, w, interpret):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((plan.g_pad, cout), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(
@@ -205,7 +205,7 @@ def _run_col(plan: ConvPlan, x, interpret):
             (plan.g_pad, N_EDGE_TYPE * c), x.dtype
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(
@@ -235,7 +235,7 @@ def _run_bwd(plan: ConvPlan, dout, w, c, interpret):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((plan.g_pad, c), dout.dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(

@@ -119,14 +119,20 @@ def make_union_dp_train_step(solver, mesh: Mesh):
 
 
 def make_dp_sample(solver, mesh: Mesh, steps=None, resolution: int = 256,
-                   near_frac: float = 0.125):
+                   near_frac: float = 0.125, compact: bool = True):
     """Data-parallel generation: every device of the 'data' axis runs the
     full cascade (lr sample -> octree growth -> hr sample -> growing decode
     -> SDF grid) for its own shape — the v5e-8 throughput path the
     single-chip benchmark extrapolates to.
 
-    Returns a jitted fn(params, vae_params, keys [n_data], labels|None) ->
-    sdf grids [n_data, R, R, R] (fp16)."""
+    Returns a jitted fn(params, vae_params, keys [n_data], labels|None).
+    With ``compact`` (default) it returns
+    ``(ids [n, cap], vals [n, cap, 8] f16, counts [n], grids [n,R,R,R]
+    f16)`` — the active-cell transfer of ``utils.sdf``: the host fetches
+    the small compact arrays and marches cells directly
+    (``mesh.marching_from_cells``), touching the dense grids only for
+    over-cap fallbacks (they stay on device otherwise).  With
+    ``compact=False`` it returns just the dense fp16 grids."""
     import jax.numpy as jnp
 
     from ..nn.vae import GraphVAE
@@ -172,21 +178,32 @@ def make_dp_sample(solver, mesh: Mesh, steps=None, resolution: int = 256,
             out["reg_voxs"][m.depth_out], out["octree_out"],
             m.full_depth, m.depth_out, resolution,
             -solver.cfg.solver.sdf_scale, solver.cfg.solver.sdf_scale,
-        ).astype(jnp.float16)
-        return grid.reshape(1, resolution, resolution, resolution)
+        )
+        grid = grid.reshape(1, resolution, resolution, resolution)
+        if not compact:
+            return grid.astype(jnp.float16)
+        ids, vals, counts, _ = sdf_utils._active_cells(
+            grid, 8 * resolution * resolution
+        )
+        return ids, vals, counts, grid.astype(jnp.float16)
+
+    out_specs = (
+        (P("data"), P("data"), P("data"), P("data")) if compact
+        else P("data")
+    )
 
     def wrapper(params, vae_params, keys, labels=None):
         if labels is None:
             fn = shard_map(
                 lambda p, vp, k: local(p, vp, k, None),
                 mesh=mesh, in_specs=(P(), P(), P("data")),
-                out_specs=P("data"), check_vma=False,
+                out_specs=out_specs, check_vma=False,
             )
             return fn(params, vae_params, keys)
         fn = shard_map(
             local, mesh=mesh,
             in_specs=(P(), P(), P("data"), P("data")),
-            out_specs=P("data"), check_vma=False,
+            out_specs=out_specs, check_vma=False,
         )
         return fn(params, vae_params, keys, labels)
 

@@ -113,9 +113,23 @@ def test_dp_sample_generates_per_device_shapes():
     mesh = make_mesh(data=8, model=1)
     sample_fn = pts.make_dp_sample(solver, mesh, steps=3, resolution=16)
     keys = jax.random.split(key, 8)
-    grids = sample_fn(state.ema_params, vstate.params, keys)
+    ids, vals, counts, grids = sample_fn(
+        state.ema_params, vstate.params, keys
+    )
     assert grids.shape == (8, 16, 16, 16)
+    assert ids.shape == (8, 8 * 16 * 16) and vals.shape[:2] == ids.shape
     g = np.asarray(grids, np.float32)
     assert np.isfinite(g).all()
     # different devices got different noise -> different shapes
     assert np.abs(g[0] - g[1]).max() > 0
+    # compact transfer consistent with the dense grid per device (ids are
+    # clamped to the cell cap; counts above it signal the dense fallback)
+    counts_h = np.asarray(counts)
+    ids_h = np.asarray(ids)
+    cap = ids_h.shape[1]
+    assert (np.minimum(counts_h, cap) == (ids_h >= 0).sum(1)).all()
+    # compact=False keeps the dense-grid contract
+    fn2 = pts.make_dp_sample(solver, mesh, steps=3, resolution=16,
+                             compact=False)
+    g2 = fn2(state.ema_params, vstate.params, keys)
+    np.testing.assert_allclose(np.asarray(g2, np.float32), g, atol=2e-3)

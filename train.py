@@ -220,13 +220,16 @@ def main():
         rdir = os.path.join(run_dir, f"results_{args.category}")
         if args.model != "vae" and n_dev > 1 and len(my_idx) > 1:
             # all local devices run full cascades in ONE jitted program
-            # (the v5e-8 throughput path; SURVEY §2.3 generation sharding)
+            # (the v5e-8 throughput path; SURVEY §2.3 generation sharding);
+            # compact active-cell transfer + host cell marching per shape
+            from octfusion_tpu.utils import mesh as mesh_lib
             from octfusion_tpu.utils import sdf as sdf_utils
 
+            res = cfg.solver.resolution
+            sscale = cfg.solver.sdf_scale
+            cell_cap = 8 * res * res
             mesh = make_mesh(data=n_dev, model=1)
-            sample_fn = pts.make_dp_sample(
-                solver, mesh, resolution=cfg.solver.resolution
-            )
+            sample_fn = pts.make_dp_sample(solver, mesh, resolution=res)
             for c0 in range(0, len(my_idx), n_dev):
                 chunk = my_idx[c0:c0 + n_dev]
                 padded = chunk + [chunk[-1]] * (n_dev - len(chunk))
@@ -238,17 +241,29 @@ def main():
                     None if label is None
                     else jnp.broadcast_to(label, (n_dev,))
                 )
-                grids = np.asarray(
-                    sample_fn(state.ema_params, vae_params, keys, labels)
-                ).astype(np.float32)
-                paths = [os.path.join(rdir, f"{i}.obj") for i in chunk]
-                sdf_utils.export_meshes(
-                    grids[: len(chunk)], paths,
-                    bbmin=-cfg.solver.sdf_scale, bbmax=cfg.solver.sdf_scale,
-                    mesh_scale=cfg.data_test.point_scale,
+                ids, vals, counts, grids = sample_fn(
+                    state.ema_params, vae_params, keys, labels
                 )
-                for p in paths:
-                    print(f"[*] wrote {p}")
+                counts_h = np.asarray(counts)
+                ids_h, vals_h = sdf_utils._fetch_compact(
+                    ids, vals, np.minimum(counts_h, cell_cap), cell_cap
+                )
+                for j, i in enumerate(chunk):
+                    path = os.path.join(rdir, f"{i}.obj")
+                    if counts_h[j] > cell_cap:
+                        g = np.asarray(grids[j]).astype(np.float32)
+                        verts, faces = mesh_lib.marching_tetrahedra(g, 0.0)
+                    else:
+                        verts, faces = mesh_lib.marching_from_cells(
+                            ids_h[j], vals_h[j].astype(np.float32), res, 0.0
+                        )
+                    if len(verts) == 0:
+                        print(f"[!] empty mesh, skipped {path}")
+                        continue
+                    verts = verts * (2 * sscale / res) - sscale
+                    verts = verts * cfg.data_test.point_scale
+                    mesh_lib.save_obj(path, verts, faces)
+                    print(f"[*] wrote {path}")
             return
         if args.model == "vae":
             for i in my_idx:
