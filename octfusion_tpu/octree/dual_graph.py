@@ -542,20 +542,23 @@ def build_dual_graph(
 
 def with_conv_plans(
     g: DualGraph, tile_t: int = 128, desc_factor: int = 56,
-    depths=None,
+    depths=None, packed: bool = False,
 ) -> DualGraph:
     """Attach fused-conv descriptor plans (built once per shape, reused by
     every conv of every sampling step) to the given ``depths`` (default:
     all built levels).  ``graph_ops.graph_conv`` switches to the Pallas
-    kernel wherever a plan is present."""
-    from ..ops.pallas.graph_conv_plan import build_conv_plan
+    kernel wherever a plan is present.  ``packed`` builds the forward-only
+    k-packed layout (sampling only — it has no backward)."""
+    from ..ops.pallas.graph_conv_plan import (build_conv_plan,
+                                              build_packed_conv_plan)
 
+    builder = build_packed_conv_plan if packed else build_conv_plan
     levels = []
     for lvl in g.levels:
         if depths is None or lvl.d in depths:
             levels.append(
                 lvl.replace(
-                    conv_plan=build_conv_plan(lvl, tile_t, desc_factor)
+                    conv_plan=builder(lvl, tile_t, desc_factor)
                 )
             )
         else:

@@ -70,9 +70,12 @@ def _graph_conv_fused(x: jnp.ndarray, w: jnp.ndarray, plan) -> jnp.ndarray:
     """Dispatch to the fused Pallas kernel, padding channels to lane
     multiples (the kernel slices by ``dir * C``).  Interpret mode off-TPU
     keeps CPU tests runnable."""
-    from .pallas.graph_conv_kernel import graph_conv_fused
+    from .pallas.graph_conv_kernel import (PackedConvPlan, graph_conv_fused,
+                                           graph_conv_packed)
 
     interpret = jax.default_backend() != "tpu"
+    if isinstance(plan, PackedConvPlan):
+        graph_conv_fused = graph_conv_packed
     c = x.shape[1]
     cout = w.shape[1]
     cp = -(-c // 128) * 128

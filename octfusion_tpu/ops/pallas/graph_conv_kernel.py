@@ -285,3 +285,100 @@ def _bwd_rule(interpret, res, dout):
 
 
 graph_conv_fused.defvjp(_fwd_rule, _bwd_rule)
+
+
+# ----------------------------------------------------------------------
+# k-packed forward kernel (experimental; see graph_conv_plan.PackedConvPlan)
+# ----------------------------------------------------------------------
+from .graph_conv_plan import (PACK_BLOCK, K_PACK,  # noqa: E402,F401
+                              PackedConvPlan, build_packed_conv_plan)
+
+
+def _fwd_kernel_packed(
+    # scalar prefetch
+    tile_ref, dir_ref, first_ref, last_ref, active_ref, src_ref, flag_ref,
+    # tensor inputs
+    offs_ref, scale_ref, x_ref, w_ref,
+    # outputs
+    out_ref,
+    # scratch
+    col_ref, src_s, m_s,
+    *, t, c, cout, k,
+):
+    base = pl.program_id(0) * PACK_BLOCK
+
+    @pl.when(first_ref[base] == 1)
+    def _():
+        col_ref[...] = jnp.zeros_like(col_ref)
+
+    for pk in range(PACK_BLOCK):
+        p = base + pk
+
+        @pl.when(active_ref[p] == 1)
+        def _(pk=pk, p=p):
+            for j in range(k):
+                sj = pl.multiple_of(src_ref[p * k + j] * t, t)
+                src_s[pl.ds(j * t, t), :] = x_ref[pl.ds(sj, t), :]
+                m_s[:, pl.ds(j * t, t)] = _onehot(
+                    offs_ref[pk, pl.ds(j * t, t)],
+                    scale_ref[pk, pl.ds(j * t, t)],
+                    flag_ref[p * k + j], t, x_ref.dtype,
+                )
+            part = jnp.dot(
+                m_s[...], src_s[...], preferred_element_type=jnp.float32
+            )
+            dstart = pl.multiple_of(dir_ref[p] * c, c)
+            col_ref[:, pl.ds(dstart, c)] += part
+
+    @pl.when(last_ref[base + PACK_BLOCK - 1] == 1)
+    def _():
+        out_ref[...] = jnp.dot(
+            col_ref[...].astype(w_ref.dtype), w_ref[...],
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
+
+
+def _run_fwd_packed(plan: PackedConvPlan, x, w, interpret):
+    t = plan.tile_t
+    k = plan.k
+    c = x.shape[1]
+    cout = w.shape[1]
+    xp = jnp.pad(x, ((0, plan.g_pad - x.shape[0]), (0, 0)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(plan.p_cap // PACK_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((PACK_BLOCK, k * t), lambda g, *_: (g, 0)),
+            pl.BlockSpec((PACK_BLOCK, k * t), lambda g, *_: (g, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (t, cout), lambda g, tile, *_: (tile[g * PACK_BLOCK], 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((t, N_EDGE_TYPE * c), jnp.float32),
+            pltpu.VMEM((k * t, c), x.dtype),
+            pltpu.VMEM((t, k * t), x.dtype),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_packed, t=t, c=c, cout=cout, k=k),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((plan.g_pad, cout), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        plan.f_tile, plan.f_dir, plan.f_first, plan.f_last, plan.f_active,
+        plan.f_src, plan.f_flag, plan.f_offs, plan.f_scale, xp,
+        w.astype(x.dtype),
+    )
+    return out[: x.shape[0]]
+
+
+def graph_conv_packed(x, w, plan: PackedConvPlan, interpret: bool = False):
+    """Forward-only k-packed fused conv (sampling path; differentiating
+    through it is unsupported — use ConvPlan for training)."""
+    return _run_fwd_packed(plan, x, w, interpret)

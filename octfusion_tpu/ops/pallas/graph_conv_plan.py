@@ -107,11 +107,10 @@ def _segment_max(values, segs, num):
     return jnp.zeros((num,), values.dtype).at[segs].max(values, mode="drop")
 
 
-def _build_side(r, c, d, s, valid, g, t, r_tiles, d_cap):
-    """Build one side's descriptors: out rows = r, src rows = c.
-
-    Returns (tile, src, dir, flag, first, last, offs, scale, n_desc,
-    overflow)."""
+def _make_descs(r, c, d, s, valid, g, t, r_tiles, d_cap):
+    """Shared descriptor creation for both layouts: returns the compact,
+    (tile, dir, src, layer)-sorted descriptor attribute arrays
+    (tile, src, dir, flag, offs [n,t], scale [n,t], n_real, overflow)."""
     e = r.shape[0]
     it = jnp.where(valid, r // t, r_tiles - 1).astype(jnp.int32)
     jt = jnp.where(valid, c // t, 0).astype(jnp.int32)
@@ -190,6 +189,18 @@ def _build_side(r, c, d, s, valid, g, t, r_tiles, d_cap):
     scale = jnp.zeros((n_desc_slots * t + 1,), jnp.float32).at[flat].set(
         jnp.where(valids, s[order], 0.0), mode="drop"
     )[:-1].reshape(n_desc_slots, t)
+    return (desc_tile, desc_src, desc_dir, desc_flag, offs, scale, n_real,
+            overflow)
+
+
+def _build_side(r, c, d, s, valid, g, t, r_tiles, d_cap):
+    """Build one side's placed descriptors: out rows = r, src rows = c.
+
+    Returns (tile, src, dir, flag, first, last, offs, scale, active,
+    overflow)."""
+    (desc_tile, desc_src, desc_dir, desc_flag, offs, scale, n_real,
+     overflow) = _make_descs(r, c, d, s, valid, g, t, r_tiles, d_cap)
+    n_desc_slots = d_cap
 
     # Lay descriptors out in per-tile runs padded to multiples of
     # DESC_BLOCK (the kernel processes DESC_BLOCK descriptors per grid step
@@ -316,3 +327,154 @@ def plan_apply_reference(x: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
         )
 
     return jax.lax.fori_loop(0, plan.d_cap, body, col)
+
+
+# ----------------------------------------------------------------------
+# k-packed layout (experimental): consecutive descriptors sharing
+# (out-tile, dir) merge into packs of K_PACK slots -> the kernel issues ONE
+# [T, K*T] @ [K*T, C] matmul + ONE column-buffer accumulate per pack
+# instead of K of each (per-issue overhead dominates the measured
+# per-descriptor cost).  Forward-only; sampling never differentiates.
+# ----------------------------------------------------------------------
+K_PACK = 4
+PACK_BLOCK = 8
+
+
+class PackedConvPlan(struct.PyTreeNode):
+    """K-packed forward plan for one GraphLevel."""
+
+    tile_t: int = struct.field(pytree_node=False)
+    k: int = struct.field(pytree_node=False)
+    n_tiles: int = struct.field(pytree_node=False)
+    g_pad: int = struct.field(pytree_node=False)
+    p_cap: int = struct.field(pytree_node=False)
+    f_tile: jnp.ndarray    # int32 [P]
+    f_dir: jnp.ndarray     # int32 [P]
+    f_first: jnp.ndarray   # int32 [P]
+    f_last: jnp.ndarray    # int32 [P]
+    f_active: jnp.ndarray  # int32 [P] (any slot active)
+    f_src: jnp.ndarray     # int32 [P*K] flat src tile per slot
+    f_flag: jnp.ndarray    # int32 [P*K]
+    f_offs: jnp.ndarray    # int32 [P, K*T]
+    f_scale: jnp.ndarray   # f32 [P, K*T]
+    overflow: jnp.ndarray
+
+
+def _scan_max(x):
+    return jax.lax.associative_scan(jnp.maximum, x)
+
+
+def _build_side_packed(r, c, d, s, valid, g, t, r_tiles, d_cap, k,
+                       pack_factor):
+    (desc_tile, desc_src, desc_dir, desc_flag, offs, scale, n_real,
+     overflow) = _make_descs(r, c, d, s, valid, g, t, r_tiles, d_cap)
+    n = d_cap
+    idx = jnp.arange(n, dtype=jnp.int32)
+    real = idx < n_real
+
+    # pack slots: position within the (tile, dir) run, modulo k
+    gkey = desc_tile * N_EDGE_TYPE + desc_dir
+    gfirst = jnp.concatenate(
+        [jnp.ones((1,), bool), gkey[1:] != gkey[:-1]]
+    ) & real
+    gstart = _scan_max(jnp.where(gfirst, idx, -1))
+    prank = idx - gstart
+    slot = prank % k
+    pack_first = (slot == 0) & real
+
+    tfirst = jnp.concatenate(
+        [jnp.ones((1,), bool), desc_tile[1:] != desc_tile[:-1]]
+    ) & real
+
+    pb = PACK_BLOCK
+    pcounts = jnp.zeros((r_tiles,), jnp.int32).at[
+        jnp.where(pack_first, desc_tile, r_tiles)
+    ].add(1, mode="drop")
+    padded = jnp.maximum(-(-pcounts // pb), 1) * pb
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)]
+    )
+    p_final = -(-(r_tiles * pack_factor) // pb) * pb
+    overflow = overflow | (starts[-1] > p_final)
+
+    # index of this descriptor's pack within its tile: inclusive count of
+    # pack starts up to here, relative to the tile-run start (which always
+    # starts a pack itself, so the difference is exactly the pack index)
+    inc = jnp.cumsum(pack_first.astype(jnp.int32))
+    rstart = _scan_max(jnp.where(tfirst, idx, -1))
+    pack_in_tile = inc - inc[jnp.clip(rstart, 0, n - 1)]
+    pack_pos = jnp.where(
+        real, starts[jnp.clip(desc_tile, 0, r_tiles - 1)] + pack_in_tile,
+        p_final,
+    )
+    pack_pos = jnp.minimum(pack_pos, p_final)
+
+    slot_flat = jnp.where(
+        pack_pos < p_final, pack_pos * k + slot, p_final * k
+    )
+
+    def place_slot(vals, fill, width=None):
+        if width is None:
+            out = jnp.full((p_final * k + 1,), fill, vals.dtype)
+            return out.at[slot_flat].set(
+                jnp.where(real, vals, fill), mode="drop"
+            )[:-1]
+        out = jnp.full(((p_final * k + 1) * width,), fill, vals.dtype)
+        flat = jnp.where(
+            (slot_flat[:, None] < p_final * k) & real[:, None],
+            slot_flat[:, None] * width + jnp.arange(width)[None, :],
+            p_final * k * width,
+        )
+        return out.at[flat.reshape(-1)].set(
+            vals.reshape(-1), mode="drop"
+        )[:-width].reshape(p_final * k, width)
+
+    ps_src = place_slot(desc_src, 0).reshape(p_final * k)
+    ps_flag = place_slot(desc_flag, 0).reshape(p_final * k)
+    offs_all = place_slot(offs, -1, width=t).reshape(p_final, k * t)
+    scale_all = place_slot(scale, 0.0, width=t).reshape(p_final, k * t)
+
+    # per-pack attrs (from slot-0 descriptors)
+    ppos0 = jnp.where(pack_first, pack_pos, p_final)
+
+    def place_pack(vals, fill):
+        out = jnp.full((p_final + 1,), fill, vals.dtype)
+        return out.at[ppos0].set(vals, mode="drop")[:-1]
+
+    p_dir = place_pack(desc_dir, 0)
+    p_active = place_pack(jnp.ones((n,), jnp.int32), 0)
+
+    pos = jnp.arange(p_final, dtype=jnp.int32)
+    tile_of_pos = jnp.clip(
+        jnp.searchsorted(starts, pos, side="right") - 1, 0, r_tiles - 1
+    ).astype(jnp.int32)
+    first = (pos == starts[tile_of_pos]).astype(jnp.int32)
+    nxt = jnp.minimum(starts[jnp.clip(tile_of_pos + 1, 0, r_tiles)], p_final)
+    last = (pos == nxt - 1).astype(jnp.int32)
+    return (tile_of_pos, p_dir, first, last, p_active, ps_src, ps_flag,
+            offs_all, scale_all, overflow)
+
+
+@partial(jax.jit, static_argnames=("tile_t", "desc_factor", "k",
+                                   "pack_factor"))
+def build_packed_conv_plan(
+    lvl: GraphLevel, tile_t: int = TILE, desc_factor: int = 56,
+    k: int = K_PACK, pack_factor: int = 24,
+) -> PackedConvPlan:
+    """Forward-only k-packed descriptor plan for one level."""
+    g = lvl.g_cap
+    t = tile_t
+    r_tiles = -(-g // t)
+    d_cap = r_tiles * desc_factor
+    valid = lvl.edge_row < g
+    f = _build_side_packed(
+        lvl.edge_row, lvl.edge_col, lvl.edge_dir, lvl.edge_scale, valid,
+        g, t, r_tiles, d_cap, k, pack_factor,
+    )
+    return PackedConvPlan(
+        tile_t=t, k=k, n_tiles=r_tiles, g_pad=r_tiles * t,
+        p_cap=-(-(r_tiles * pack_factor) // PACK_BLOCK) * PACK_BLOCK,
+        f_tile=f[0], f_dir=f[1], f_first=f[2], f_last=f[3], f_active=f[4],
+        f_src=f[5], f_flag=f[6], f_offs=f[7], f_scale=f[8],
+        overflow=f[9] | lvl.overflow,
+    )

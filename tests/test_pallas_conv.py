@@ -144,3 +144,25 @@ def test_fused_kernel_tile256_parity():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
     )
+
+
+def test_packed_kernel_forward_parity():
+    """K-packed forward kernel (one [T,KT]@[KT,C] matmul per pack) must
+    match the XLA segment-sum conv."""
+    from octfusion_tpu.octree.dual_graph import with_conv_plans as wcp
+
+    g = make_graph(seed=13, n=400)
+    gp = wcp(g, packed=True)
+    rng = np.random.RandomState(17)
+    for d, c, cout in ((3, 16, 8), (4, 8, 24)):
+        lvl, lvlp = g.level(d), gp.level(d)
+        assert not bool(lvlp.conv_plan.overflow), d
+        x = jnp.asarray(rng.normal(size=(lvl.g_cap, c)).astype(np.float32))
+        w = jnp.asarray(
+            rng.normal(size=(N_EDGE_TYPE * c, cout)).astype(np.float32) * 0.1
+        )
+        ref = graph_ops.graph_conv(x, w, lvl)
+        got = graph_ops.graph_conv(x, w, lvlp)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
