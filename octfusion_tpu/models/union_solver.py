@@ -38,6 +38,14 @@ def use_fused_conv() -> bool:
     return flag != "0" and jax.default_backend() == "tpu"
 
 
+def use_kpack() -> bool:
+    """K-packed fused-conv plans for SAMPLING graphs (forward-only;
+    experimental).  OCTFUSION_CONV_KPACK=1 enables."""
+    import os
+
+    return os.environ.get("OCTFUSION_CONV_KPACK", "0") == "1"
+
+
 def use_fused_train() -> bool:
     """Fused convs in TRAIN steps (plan built inside the jitted step, since
     training topology changes per batch).  Off by default until it wins on
@@ -321,7 +329,7 @@ class UnionSolver:
             # every conv of all 200 hr sampling steps (~1.5x step win on
             # v5e, PERF.md)
             if use_fused_conv():
-                g_small = with_conv_plans(g_small)
+                g_small = with_conv_plans(g_small, packed=use_kpack())
             return octree_small, g_small
 
         octree_small, g_small = self._jit(f"grow_{batch_size}", grow)(
