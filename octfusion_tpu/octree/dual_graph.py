@@ -463,25 +463,40 @@ def finalize_level(
     all_dir = jnp.concatenate([dirs, jnp.full((gcap,), 6, jnp.int32)])
 
     # ---- sort by row * 7 + dir ----------------------------------------
+    # one variadic key+payload sort instead of argsort + three permutation
+    # gathers (gathers run at ~8-16 ns/row; at level 8 the 2M-row edge
+    # arrays made them the decode-time topology wall — PERF.md)
+    big = jnp.iinfo(jnp.int32).max
     sort_key = jnp.where(
-        all_row < gcap, all_row * N_EDGE_TYPE + all_dir, jnp.iinfo(jnp.int32).max
+        all_row < gcap, all_row * N_EDGE_TYPE + all_dir, big
     )
-    order = jnp.argsort(sort_key, stable=True)
-    all_row = all_row[order]
-    all_col = all_col[order]
-    all_dir = all_dir[order]
-    n_edges = jnp.sum((all_row < gcap).astype(jnp.int32))
+    sort_key, all_col = jax.lax.sort(
+        (sort_key, all_col), dimension=0, num_keys=1, is_stable=True
+    )
+    valid_e = sort_key != big
+    all_row = jnp.where(valid_e, sort_key // N_EDGE_TYPE, gcap)
+    all_dir = jnp.where(valid_e, sort_key % N_EDGE_TYPE, 0)
+    n_edges = jnp.sum(valid_e.astype(jnp.int32))
 
     # ---- per-edge scatter-mean scale ----------------------------------
-    slot = jnp.where(
-        all_row < gcap, all_row * N_EDGE_TYPE + all_dir, gcap * N_EDGE_TYPE
+    # edges are sorted by slot, so per-slot counts are run lengths — two
+    # log-depth scans instead of a [gcap*7] scatter-add + a 2M-row gather
+    n_all = sort_key.shape[0]
+    eidx = jnp.arange(n_all, dtype=jnp.int32)
+    newrun = jnp.concatenate(
+        [jnp.ones((1,), bool), sort_key[1:] != sort_key[:-1]]
     )
-    counts = jnp.zeros((gcap * N_EDGE_TYPE,), jnp.float32).at[slot].add(
-        1.0, mode="drop"
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(newrun, eidx, -1)
+    )
+    bound = jnp.where(newrun, eidx, n_all)
+    nxt = jax.lax.associative_scan(jnp.minimum, bound, reverse=True)
+    run_end = jnp.concatenate(
+        [nxt[1:], jnp.full((1,), n_all, jnp.int32)]
     )
     scale = jnp.where(
-        all_row < gcap,
-        1.0 / jnp.maximum(counts[jnp.clip(slot, 0, gcap * N_EDGE_TYPE - 1)], 1.0),
+        valid_e,
+        1.0 / jnp.maximum(run_end - run_start, 1).astype(jnp.float32),
         0.0,
     )
 
