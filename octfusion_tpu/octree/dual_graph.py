@@ -349,16 +349,28 @@ def expand_level_edges(
     cand_c = jnp.where(cand_r < gt, cand_c, gt)
     cand_d = jnp.where(cand_r < gt, cand_d, 0)
 
-    # compact valid edges to the front, truncate to static capacity
-    order = jnp.argsort((cand_r >= gt).astype(jnp.int32), stable=True)
+    # compact valid edges to the front, truncate to static capacity — one
+    # variadic (row*7+dir, col) sort instead of argsort + three gathers
+    # over the ~4M-row candidate arrays (same trick as finalize_level;
+    # within equal keys the stable sort preserves candidate order, so
+    # downstream results are unchanged)
+    big = jnp.iinfo(jnp.int32).max
+    key = jnp.where(
+        cand_r < gt, cand_r * N_EDGE_TYPE + cand_d, big
+    )
+    key, cand_c = jax.lax.sort(
+        (key, cand_c), dimension=0, num_keys=1, is_stable=True
+    )
     cap = spec.e_cap(d)
-    keep = order[:cap]
+    key = key[:cap]
+    col = cand_c[:cap]
+    valid = key != big
     n_valid = jnp.sum((cand_r < gt).astype(jnp.int32))
     return CarriedEdges(
         d=d,
-        row=cand_r[keep],
-        col=cand_c[keep],
-        dir=cand_d[keep],
+        row=jnp.where(valid, key // N_EDGE_TYPE, gt),
+        col=jnp.where(valid, col, gt),
+        dir=jnp.where(valid, key % N_EDGE_TYPE, 0),
         overflow=prev.overflow | (n_valid > cap),
     )
 
