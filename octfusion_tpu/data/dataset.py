@@ -222,12 +222,145 @@ def octree_node_counts(points: np.ndarray, depth: int,
     return counts
 
 
-def fits_capacity(points: np.ndarray, spec) -> bool:
+def dual_graph_edge_counts(points: np.ndarray, depth: int, full_depth: int,
+                           ) -> Dict[int, int]:
+    """Host-side per-level *carried* (pre-self-loop) directed edge counts of
+    the dual graph a point cloud will produce — the exact numbers
+    ``expand_level_edges`` checks against ``e_cap(d)``
+    (`octree/dual_graph.py` refinement: leaf-leaf edges carry, edges with an
+    internal endpoint expand to 4 face children, every subdivided node adds
+    24 sibling edges)."""
+    from ..octree.dual_graph import DIR_TABLE, INTER_COL, INTER_ROW, REMAP
+
+    size = 2 ** depth
+    xyz = np.clip(
+        np.floor((points + 1.0) * (size / 2.0)).astype(np.int64), 0, size - 1
+    )
+
+    def pack(x, y, z):
+        return (x << 40) | (y << 20) | z
+
+    # occupied (= subdividing) cells per depth
+    occ = {}
+    for d in range(full_depth, depth):
+        sh = depth - d
+        occ[d] = np.unique(
+            pack(xyz[:, 0] >> sh, xyz[:, 1] >> sh, xyz[:, 2] >> sh)
+        )
+
+    # octant id o = (dx<<2) | (dy<<1) | dz (per DIR_TABLE's face convention)
+    OCT = np.arange(8)
+    ODX, ODY, ODZ = (OCT >> 2) & 1, (OCT >> 1) & 1, OCT & 1
+
+    # dense level at full_depth: 6-neighbour directed edges over ALL cells
+    fd = full_depth
+    n = 2 ** fd
+    ax = np.arange(n, dtype=np.int64)
+    gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+    cells = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], -1)
+    ngh = np.array([[0, 0, 1], [0, 0, -1], [0, 1, 0], [0, -1, 0],
+                    [1, 0, 0], [-1, 0, 0]], np.int64)
+    nb = cells[:, None, :] + ngh[None]                 # [N, 6, 3]
+    inb = ((nb >= 0) & (nb < n)).all(-1)
+    uu = np.repeat(cells, 6, 0)[inb.ravel()]
+    vv = nb.reshape(-1, 3)[inb.ravel()]
+    dirs = np.tile(np.arange(6, dtype=np.int64), len(cells))[inb.ravel()]
+    ud = np.full(len(uu), fd, np.int64)
+    vd = ud.copy()
+    u = uu.T.copy()                                    # [3, E]
+    v = vv.T.copy()
+    counts = {fd: len(dirs)}
+
+    dirtab = np.asarray(DIR_TABLE, np.int64)
+    remap = np.asarray(REMAP, np.int64)
+
+    for k in range(fd, depth):
+        o = occ[k]
+        u_int = (ud == k) & np.isin(pack(u[0], u[1], u[2]), o,
+                                    assume_unique=False)
+        v_int = (vd == k) & np.isin(pack(v[0], v[1], v[2]), o)
+
+        def children_on_face(c, octants):
+            # c [3, E], octants [E, 4] -> coords [3, E, 4] at depth k+1
+            d4 = np.stack([ODX[octants], ODY[octants], ODZ[octants]])
+            return c[:, :, None] * 2 + d4
+
+        segs = []  # (u3, ud, v3, vd, dir)
+        keep = ~u_int & ~v_int
+        segs.append((u[:, keep], ud[keep], v[:, keep], vd[keep], dirs[keep]))
+
+        m = u_int & ~v_int
+        cu = children_on_face(u[:, m], dirtab[dirs[m]])
+        segs.append((
+            cu.reshape(3, -1), np.full(4 * m.sum(), k + 1, np.int64),
+            np.repeat(v[:, m], 4, 1), np.repeat(vd[m], 4),
+            np.repeat(dirs[m], 4),
+        ))
+
+        m = ~u_int & v_int
+        cv = children_on_face(v[:, m], dirtab[remap[dirs[m]]])
+        segs.append((
+            np.repeat(u[:, m], 4, 1), np.repeat(ud[m], 4),
+            cv.reshape(3, -1), np.full(4 * m.sum(), k + 1, np.int64),
+            np.repeat(dirs[m], 4),
+        ))
+
+        m = u_int & v_int
+        cu = children_on_face(u[:, m], dirtab[dirs[m]])
+        cv = children_on_face(v[:, m], dirtab[remap[dirs[m]]])
+        segs.append((
+            cu.reshape(3, -1), np.full(4 * m.sum(), k + 1, np.int64),
+            cv.reshape(3, -1), np.full(4 * m.sum(), k + 1, np.int64),
+            np.repeat(dirs[m], 4),
+        ))
+
+        # 24 sibling edges inside every new 8-block
+        ox, oy, oz = o >> 40, (o >> 20) & 0xFFFFF, o & 0xFFFFF
+        oc = np.stack([ox, oy, oz])                    # [3, S]
+        ir = np.asarray(INTER_ROW, np.int64)
+        ic = np.asarray(INTER_COL, np.int64)
+        su = (oc[:, :, None] * 2 + np.stack([ODX[ir], ODY[ir], ODZ[ir]])[:, None, :])
+        sv = (oc[:, :, None] * 2 + np.stack([ODX[ic], ODY[ic], ODZ[ic]])[:, None, :])
+        ns = oc.shape[1] * 24
+        from ..octree.dual_graph import INTER_DIR
+
+        segs.append((
+            su.reshape(3, -1), np.full(ns, k + 1, np.int64),
+            sv.reshape(3, -1), np.full(ns, k + 1, np.int64),
+            np.tile(np.asarray(INTER_DIR, np.int64), oc.shape[1]),
+        ))
+
+        u = np.concatenate([s[0] for s in segs], 1)
+        ud = np.concatenate([s[1] for s in segs])
+        v = np.concatenate([s[2] for s in segs], 1)
+        vd = np.concatenate([s[3] for s in segs])
+        dirs = np.concatenate([s[4] for s in segs])
+        counts[k + 1] = len(dirs)
+    return counts
+
+
+def fits_capacity(points: np.ndarray, spec, edge_factor: int = 0) -> bool:
     """True iff a single-sample octree built from ``points`` fits the static
-    per-depth capacities of ``spec`` (an :class:`OctreeSpec`, batch 1)."""
+    per-depth capacities of ``spec`` (an :class:`OctreeSpec`, batch 1).
+
+    With ``edge_factor > 0`` additionally checks the dual-graph edge
+    capacities ``edge_factor * g_cap(d)`` (what ``expand_level_edges``
+    flags as overflow); node caps alone cannot see those."""
     counts = octree_node_counts(points, spec.depth, spec.full_depth)
-    return all(counts[d] <= spec.node_caps[d]
-               for d in range(spec.full_depth + 1, spec.depth + 1))
+    if not all(counts[d] <= spec.node_caps[d]
+               for d in range(spec.full_depth + 1, spec.depth + 1)):
+        return False
+    if edge_factor > 0:
+        from ..octree.dual_graph import GraphSpec
+
+        gspec = GraphSpec(spec, edge_factor)
+        ecounts = dual_graph_edge_counts(
+            points, spec.depth, spec.full_depth
+        )
+        if any(ecounts[d] > gspec.e_cap(d)
+               for d in range(spec.full_depth + 1, spec.depth + 1)):
+            return False
+    return True
 
 
 class CapacityFilteredDataset:
@@ -236,10 +369,12 @@ class CapacityFilteredDataset:
     `octree/octree.py:113-116`); the device-side flags remain the backstop
     for anything this pre-check cannot see (edge caps)."""
 
-    def __init__(self, base, spec, max_probe: int = 64):
+    def __init__(self, base, spec, max_probe: int = 64,
+                 edge_factor: int = 0):
         self.base = base
         self.spec = spec
         self.max_probe = max_probe
+        self.edge_factor = edge_factor
         self._warned = set()
 
     def __len__(self):
@@ -249,7 +384,9 @@ class CapacityFilteredDataset:
         n = len(self.base)
         for k in range(min(self.max_probe, n)):
             s = self.base[(idx + k) % n]
-            if "points" not in s or fits_capacity(s["points"], self.spec):
+            if "points" not in s or fits_capacity(
+                s["points"], self.spec, self.edge_factor
+            ):
                 return s
             fn = s.get("filename", (idx + k) % n)
             if fn not in self._warned:

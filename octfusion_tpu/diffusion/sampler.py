@@ -48,7 +48,16 @@ def sample_loop(
         x = jnp.asarray(noise_stream[0], jnp.float32)
         if noise_stream.shape[0] >= steps + 1:
             step_noise = jnp.asarray(noise_stream[1:steps + 1], jnp.float32)
+        elif df_type == "x0" and eta != 0.0:
+            # the x0 ancestral path draws one noise per step; silently
+            # zero-filling would deterministically bias the samples
+            raise ValueError(
+                f"noise_stream has {noise_stream.shape[0]} entries but the "
+                f"x0 ancestral path needs steps+1 = {steps + 1} (initial "
+                "state + one per step)"
+            )
         else:
+            # eps / DDIM(eta=0) paths consume only entry 0
             step_noise = jnp.zeros((steps,) + shape, jnp.float32)
     else:
         x = jax.random.normal(nkey, shape, jnp.float32)

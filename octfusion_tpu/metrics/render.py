@@ -74,7 +74,10 @@ def render_mesh_views_raster(
     dirs = FRONT_VECTORS / np.linalg.norm(FRONT_VECTORS, axis=-1,
                                           keepdims=True)
     for vi in range(min(n_views, len(dirs))):
-        eye = dirs[vi] * cam_dist
+        # the reference places cameras at the UNNORMALISED front * 2
+        # (`utils/render/render.py:10-33`, |front| ~ 1.07 -> dist ~ 2.14);
+        # only the Lambertian light direction uses the normalised vector
+        eye = FRONT_VECTORS[vi] * cam_dist
         rot = _look_at(eye)
         cam = (v - eye) @ rot.T                    # camera frame, -z fwd
         z = -cam[:, 2]

@@ -108,7 +108,9 @@ def main():
         from octfusion_tpu.data.dataset import CapacityFilteredDataset
 
         spec1 = cfg.capacity.octree_spec(cfg.model.depth, cfg.model.full_depth)
-        dataset = CapacityFilteredDataset(dataset, spec1)
+        dataset = CapacityFilteredDataset(
+            dataset, spec1, edge_factor=cfg.capacity.edge_factor
+        )
     global_batch = cfg.data.batch_size
     if args.mode == "train" and n_dev > 1:
         # global batch must divide over the data axis
@@ -218,7 +220,10 @@ def main():
         rank, world = jax.process_index(), jax.process_count()
         my_idx = list(range(rank, args.count, world))
         rdir = os.path.join(run_dir, f"results_{args.category}")
-        if args.model != "vae" and n_dev > 1 and len(my_idx) > 1:
+        # make_dp_sample implements the 2-stage union cascade; union_3t's
+        # 3-hop cascade (overridden Union3TSolver.sample) must take the
+        # pipelined per-shape path below
+        if args.model == "union" and n_dev > 1 and len(my_idx) > 1:
             # all local devices run full cascades in ONE jitted program
             # (the v5e-8 throughput path; SURVEY §2.3 generation sharding);
             # compact active-cell transfer + host cell marching per shape
@@ -326,6 +331,12 @@ def main():
     start = int(state.step)
     t0 = time.time()
     prof_until = start + args.profile if args.profile else -1
+    # device-side running max of the per-step overflow flag, so an
+    # edge-cap/conv-plan overflow at a non-print step still raises at the
+    # next print (the loader pre-filter only covers node caps)
+    from octfusion_tpu.utils.overflow import OverflowMonitor
+
+    ovf = OverflowMonitor()
     for it in range(start, total_steps):
         if args.profile and it == start + 1:  # skip the compile step
             jax.profiler.start_trace(os.path.join(run_dir, "profile"))
@@ -345,16 +356,12 @@ def main():
             else:
                 state, ld = step_fn(state, vae_params, jb, k)
 
+        ovf.update(ld)
+
         if is_main and it % cfg.train.print_freq == 0:
             dt = (time.time() - t0) / max(it - start + 1, 1)
             vis.print_current_errors(it, {k2: v for k2, v in ld.items()}, dt)
-            if float(ld.get("overflow", 0.0)) > 0:
-                raise RuntimeError(
-                    "octree/graph capacity overflow during training: nodes "
-                    "or edges were dropped, the step is wrong.  Raise "
-                    "capacity.finest_cap / capacity.edge_factor in the "
-                    "config (see octree/octree.py overflow contract)."
-                )
+            ovf.check()
         if args.profile and it == prof_until:
             jax.block_until_ready(jax.tree_util.tree_leaves(state.params)[0])
             jax.profiler.stop_trace()
@@ -386,6 +393,7 @@ def main():
         if is_main and (it + 1) % cfg.train.save_latest_freq == 0:
             ckpt_lib.save(ckpt_dir, state, it + 1, cfg.train.ckpt_num)
             print(f"[*] saved checkpoint at step {it + 1}")
+    ovf.check()
     if is_main:
         ckpt_lib.save(ckpt_dir, state, total_steps, cfg.train.ckpt_num)
     dl.stop()
