@@ -390,11 +390,15 @@ class ConvNd(nn.Module):
         init = nn.initializers.zeros if self.zero_init else (
             nn.initializers.lecun_normal()
         )
+        # torch-style symmetric padding=k//2: XLA "SAME" would pad (0, 1)
+        # for stride 2 / kernel 3, shifting every window by one voxel vs
+        # the reference's ConvDownsample (`modules.py:63-77`, padding=1).
+        pad = self.kernel // 2
         return nn.Conv(
             self.features,
             kernel_size=(self.kernel,) * 3,
             strides=(self.stride,) * 3,
-            padding="SAME",
+            padding=((pad, pad),) * 3,
             kernel_init=init,
             bias_init=nn.initializers.zeros,
             name="conv",

@@ -211,7 +211,13 @@ def make_dp_sample(solver, mesh: Mesh, steps=None, resolution: int = 256,
 
 
 def shard_batch(batch, mesh: Mesh, vae: bool):
-    """Device_put the host batch with the step's expected shardings."""
+    """Place the host batch with the step's expected shardings.
+
+    Multi-process: each process's loader is rank-striped and yields only
+    its local rows, assembled into the global array via
+    ``dist.global_array_from_local``."""
+    from .dist import global_array_from_local
+
     specs = {
         "points": P("data"),
         "normals": P("data"),
@@ -227,5 +233,5 @@ def shard_batch(batch, mesh: Mesh, vae: bool):
             continue
         if not vae and k in ("pos", "sdf", "grad"):
             continue
-        out[k] = jax.device_put(v, NamedSharding(mesh, specs[k]))
+        out[k] = global_array_from_local(v, mesh, specs[k])
     return out

@@ -224,15 +224,17 @@ def convert_unet_lr(sd: Dict, channel_mult=(1, 2, 4),
         _gn_voxel(sd, "mid_self_attn.0", t, ("mid_attnnorm", "GroupNorm_0"))
         _attention3d(sd, "mid_self_attn.2", t, ("mid_attn",))
     _resnet3d(sd, "mid_block2", t, ("mid_block2",))
+    # every ups entry carries a ConvUpsample: the reference's `is_last`
+    # check in the ups constructor can never fire (`graph_unet_lr.py:152-166`
+    # — ind stops at num_res - 2, threshold is num_res - 1)
     for ind in range(num_res - 1):
         _resnet3d(sd, f"ups.{ind}.0", t, (f"up_{ind}_res",))
         if ds in attention_resolutions:
             _gn_voxel(sd, f"ups.{ind}.1.0", t,
                       (f"up_{ind}_attnnorm", "GroupNorm_0"))
             _attention3d(sd, f"ups.{ind}.1.2", t, (f"up_{ind}_attn",))
-        if ind < num_res - 2:
-            _conv3d(sd, f"ups.{ind}.2.conv", t, (f"up_{ind}_us", "conv", "conv"))
-            ds //= 2
+        _conv3d(sd, f"ups.{ind}.2.conv", t, (f"up_{ind}_us", "conv", "conv"))
+        ds //= 2
     _gn_voxel(sd, "end.0", t, ("end_norm", "GroupNorm_0"))
     _conv3d(sd, "out", t, ("out", "conv"))
     return t

@@ -54,6 +54,12 @@ def main():
         os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
+    # multi-host: join the multi-controller runtime before any device
+    # query (torchrun analogue, `options/base_options.py:106-116`)
+    from octfusion_tpu.parallel import dist
+
+    dist.maybe_initialize()
+
     from octfusion_tpu.utils import jaxcache
 
     jaxcache.enable()
@@ -94,7 +100,10 @@ def main():
     config_lib.dump_config(cfg, os.path.join(run_dir, "config.yaml"))
 
     key = jax.random.PRNGKey(args.seed)
-    n_dev = jax.local_device_count()
+    # training shards over the GLOBAL device set (mesh over ICI/DCN);
+    # generation stripes shapes per process and meshes local devices only
+    n_dev = jax.device_count()
+    world = jax.process_count()
     is_main = jax.process_index() == 0
     vis = Visualizer(run_dir, enabled=is_main)
 
@@ -113,18 +122,19 @@ def main():
         )
     global_batch = cfg.data.batch_size
     if args.mode == "train" and n_dev > 1:
-        # global batch must divide over the data axis
+        # global batch must divide over the data axis (and over processes,
+        # since each process loads its own contiguous shard of rows)
         data_axis = (
             cfg.mesh.data_axis if cfg.mesh.data_axis > 0
             else n_dev // cfg.mesh.model_axis
         )
-        global_batch = max(
-            data_axis, (global_batch // data_axis) * data_axis
-        )
+        q = max(data_axis, world)
+        global_batch = max(q, (global_batch // q) * q)
+    # rank-striped loader yields this process's rows only
     dl = loader_lib.DataLoader(
-        dataset, global_batch, cfg.data.shuffle, cfg.train.seed,
+        dataset, global_batch // world, cfg.data.shuffle, cfg.train.seed,
         cfg.data.num_workers,
-        rank=jax.process_index(), world_size=jax.process_count(),
+        rank=jax.process_index(), world_size=world,
     )
     data_iter = iter(dl)
     first = next(data_iter)
@@ -217,13 +227,15 @@ def main():
         # per-process index striping (`train.py:166-177` in the reference):
         # result i is produced by process i % world, seeds keyed by i so each
         # sample is independently reproducible (`octfusion_model_union.py:372`)
-        rank, world = jax.process_index(), jax.process_count()
+        rank = jax.process_index()
         my_idx = list(range(rank, args.count, world))
         rdir = os.path.join(run_dir, f"results_{args.category}")
         # make_dp_sample implements the 2-stage union cascade; union_3t's
         # 3-hop cascade (overridden Union3TSolver.sample) must take the
-        # pipelined per-shape path below
-        if args.model == "union" and n_dev > 1 and len(my_idx) > 1:
+        # pipelined per-shape path below.  Work stripes per process, so the
+        # generation mesh spans this process's LOCAL devices only.
+        n_loc = jax.local_device_count()
+        if args.model == "union" and n_loc > 1 and len(my_idx) > 1:
             # all local devices run full cascades in ONE jitted program
             # (the v5e-8 throughput path; SURVEY §2.3 generation sharding);
             # compact active-cell transfer + host cell marching per shape
@@ -233,18 +245,19 @@ def main():
             res = cfg.solver.resolution
             sscale = cfg.solver.sdf_scale
             cell_cap = 8 * res * res
-            mesh = make_mesh(data=n_dev, model=1)
+            mesh = make_mesh(data=n_loc, model=1,
+                             devices=jax.local_devices())
             sample_fn = pts.make_dp_sample(solver, mesh, resolution=res)
-            for c0 in range(0, len(my_idx), n_dev):
-                chunk = my_idx[c0:c0 + n_dev]
-                padded = chunk + [chunk[-1]] * (n_dev - len(chunk))
+            for c0 in range(0, len(my_idx), n_loc):
+                chunk = my_idx[c0:c0 + n_loc]
+                padded = chunk + [chunk[-1]] * (n_loc - len(chunk))
                 keys = jnp.stack([
                     jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
                     for i in padded
                 ])
                 labels = (
                     None if label is None
-                    else jnp.broadcast_to(label, (n_dev,))
+                    else jnp.broadcast_to(label, (n_loc,))
                 )
                 ids, vals, counts, grids = sample_fn(
                     state.ema_params, vae_params, keys, labels
