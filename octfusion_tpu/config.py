@@ -80,6 +80,11 @@ class DiffusionConfig:
     timesteps: int = 1000
     noise_schedule: str = "linear"
     ddim_steps: int = 200
+    # 'ancestral' = the reference's exact update rules; 'dpmpp' =
+    # DPM-Solver++(2M), the TPU fast path (same quality at ~4x fewer
+    # denoiser calls — measured in METRICS_r03.md).  Pair 'dpmpp' with a
+    # reduced ddim_steps (e.g. 50).
+    sampler: str = "ancestral"
     truncated_time: float = 0.7
     ema_rate: float = 0.999
     unet_type: Tuple[str, ...] = ("lr", "hr")

@@ -32,6 +32,7 @@ def sample_loop(
     snap_sign: bool = False,
     noise_stream=None,
     eta: float = 1.0,
+    solver: str = "ancestral",
 ):
     """Returns the final state after ``steps`` ancestral updates.
 
@@ -41,7 +42,22 @@ def sample_loop(
     one per step, matching the reference's torch.randn call order,
     `octfusion_model_union.py:308,339-344`; the eps path needs only entry
     0).  This is the ingestion hook for bit-comparable sampling from
-    reference-generated noise (SURVEY §7.3.3)."""
+    reference-generated noise (SURVEY §7.3.3).
+
+    ``solver``: ``"ancestral"`` reproduces the reference's update rules
+    exactly; ``"dpmpp"`` runs DPM-Solver++(2M) (deterministic 2nd-order
+    multistep on the probability-flow ODE, data-prediction form) over the
+    same uniform time grid — the TPU fast path: ~4x fewer denoiser calls
+    at matched sample quality (measured in METRICS_r03.md), and the
+    denoiser dominates sampling wall-time."""
+    if solver == "dpmpp":
+        return _sample_loop_dpmpp(
+            denoise_fn, key, shape, batch_size, steps, log_snr_fn,
+            df_type=df_type, truncated_index=truncated_index,
+            snap_sign=snap_sign, noise_stream=noise_stream,
+        )
+    if solver != "ancestral":
+        raise ValueError(f"unknown solver {solver!r}")
     t_arr, t_next_arr = sampling_time_pairs(steps)
     key, nkey = jax.random.split(key)
     if noise_stream is not None:
@@ -105,6 +121,78 @@ def sample_loop(
 
     (x, _), _ = jax.lax.scan(
         step, (x, x_start), (t_arr, t_next_arr, step_keys, step_noise)
+    )
+    return x
+
+
+def _sample_loop_dpmpp(
+    denoise_fn: Callable,
+    key,
+    shape,
+    batch_size: int,
+    steps: int,
+    log_snr_fn,
+    df_type: str = "x0",
+    truncated_index: float = 0.0,
+    snap_sign: bool = False,
+    noise_stream=None,
+):
+    """DPM-Solver++(2M), data-prediction form (Lu et al. 2022, public
+    algorithm), on the uniform time grid of ``sampling_time_pairs``.
+
+    With lambda = log(alpha/sigma) = log_snr/2 and h = lambda_next -
+    lambda, the multistep update from t to t_next is
+
+        x <- (sigma_next/sigma) x - alpha_next (e^{-h} - 1) D_hat
+        D_hat = (1 + 1/(2r)) D_t - (1/(2r)) D_prev,  r = h_prev / h
+
+    (first step: D_hat = D_t, the exact first-order / DDIM update).  The
+    model's x0 prediction is used directly when ``df_type == 'x0'`` and
+    recovered as (x - sigma*eps)/alpha for the eps parameterisation; the
+    lr stage's sign snapping applies to the x0 estimate exactly as in the
+    ancestral path.  Deterministic: ``noise_stream`` contributes only the
+    initial state."""
+    t_arr, t_next_arr = sampling_time_pairs(steps)
+    # same key discipline as the ancestral path so a given seed starts
+    # every solver from the identical initial state
+    key, nkey = jax.random.split(key)
+    if noise_stream is not None:
+        x = jnp.asarray(noise_stream[0], jnp.float32)
+    else:
+        x = jax.random.normal(nkey, shape, jnp.float32)
+
+    def x0_of(x, out, alpha, sigma):
+        if df_type == "x0":
+            return out
+        if df_type == "eps":
+            return (x - sigma * out) / jnp.maximum(alpha, 1e-8)
+        raise ValueError(df_type)
+
+    def step(carry, inp):
+        x, d_prev, h_prev, x_start, i = carry
+        t, t_next = inp
+        snr = log_snr_fn(t)
+        snr_next = log_snr_fn(t_next)
+        alpha, sigma = log_snr_to_alpha_sigma(snr)
+        alpha_next, sigma_next = log_snr_to_alpha_sigma(snr_next)
+        tb = jnp.full((batch_size,), snr, jnp.float32)
+        out = denoise_fn(x, tb, x_start)
+        if snap_sign:
+            out = jnp.where(t < truncated_index, jnp.sign(out), out)
+        d = x0_of(x, out, alpha, sigma)
+        h = (snr_next - snr) * 0.5
+        # first step (i == 0): no history -> first-order update (r-term 0)
+        r = jnp.where(i > 0, h_prev / h, jnp.inf)
+        w = 1.0 / (2.0 * r)
+        d_hat = (1.0 + w) * d - w * d_prev
+        x_new = (sigma_next / jnp.maximum(sigma, 1e-20)) * x \
+            - alpha_next * jnp.expm1(-h) * d_hat
+        return (x_new, d, h, d, i + 1), None
+
+    d0 = jnp.zeros(shape, jnp.float32)
+    (x, _, _, _, _), _ = jax.lax.scan(
+        step, (x, d0, jnp.asarray(1.0), d0, jnp.asarray(0, jnp.int32)),
+        (t_arr, t_next_arr),
     )
     return x
 

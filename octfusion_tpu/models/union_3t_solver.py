@@ -158,7 +158,7 @@ class Union3TSolver(UnionSolver):
         out = sampler.sample_loop(
             denoise, key, (lvl.g_cap, channels), batch_size,
             steps or dcfg.ddim_steps, self.log_snr,
-            df_type=self.df_type[unet_type],
+            df_type=self.df_type[unet_type], solver=dcfg.sampler,
         )
         return jnp.where(lvl.node_mask[:, None], out, 0.0)
 

@@ -262,7 +262,7 @@ class UnionSolver:
             steps or dcfg.ddim_steps, self.log_snr,
             df_type=self.df_type["lr"],
             truncated_index=dcfg.truncated_time, snap_sign=True,
-            noise_stream=noise_stream, eta=eta,
+            noise_stream=noise_stream, eta=eta, solver=dcfg.sampler,
         )
 
     def sample_hr(self, params, key, g, batch_size: int, label=None,
@@ -280,7 +280,7 @@ class UnionSolver:
             denoise, key, (lvl.g_cap, self.cfg.model.embed_dim), batch_size,
             steps or dcfg.ddim_steps, self.log_snr,
             df_type=self.df_type["hr"],
-            noise_stream=noise_stream, eta=eta,
+            noise_stream=noise_stream, eta=eta, solver=dcfg.sampler,
         )
         return jnp.where(lvl.node_mask[:, None], code, 0.0)
 

@@ -351,3 +351,80 @@ def test_ddim_eta0_deterministic():
         log_snr, df_type="x0", eta=0.0,
     )
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out3))
+
+
+def test_dpmpp_matches_ddim_for_constant_x0():
+    """With a constant x0 prediction the probability-flow ODE is linear
+    and both DDIM (eta=0) and DPM-Solver++(2M) integrate it EXACTLY, so
+    they must agree to float tolerance at any step count."""
+    c = jnp.full((2, 5), 0.37, jnp.float32)
+
+    def denoise(x, tb, x_start):
+        return jnp.broadcast_to(c, x.shape)
+
+    key = jax.random.PRNGKey(0)
+    kw = dict(shape=(2, 5), batch_size=2, log_snr_fn=schedule.beta_linear_log_snr,
+              df_type="x0")
+    a = sampler.sample_loop(denoise, key, steps=12, eta=0.0, **kw)
+    b = sampler.sample_loop(denoise, key, steps=12, solver="dpmpp", **kw)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def _ode_ground_truth(denoise, key, shape, df_type, steps=4000):
+    return sampler.sample_loop(
+        denoise, key, shape, batch_size=shape[0], steps=steps,
+        log_snr_fn=schedule.beta_linear_log_snr, df_type=df_type, eta=0.0,
+    )
+
+
+def test_dpmpp_second_order_beats_ddim():
+    """On a non-trivial (diagonal-linear) denoiser, DPM-Solver++(2M) at 20
+    steps must land much closer to the fine-grid ODE solution than DDIM at
+    the same 20 steps — the whole point of the fast path."""
+    rng = np.random.RandomState(3)
+    A = jnp.asarray(rng.uniform(-0.6, 0.6, size=(1, 8)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(1, 8)).astype(np.float32) * 0.3)
+
+    def denoise(x, tb, x_start):
+        return jnp.tanh(A * x + b)
+
+    key = jax.random.PRNGKey(7)
+    shape = (1, 8)
+    ref = np.asarray(_ode_ground_truth(denoise, key, shape, "x0"))
+
+    def err(steps, **kw2):
+        out = sampler.sample_loop(
+            denoise, key, shape, batch_size=1, steps=steps,
+            log_snr_fn=schedule.beta_linear_log_snr, df_type="x0", **kw2)
+        return np.abs(np.asarray(out) - ref).max()
+
+    # beats first-order DDIM at every step count, with the gap widening
+    # (higher effective order): measured 20 steps 0.042 vs 0.055, 80 steps
+    # 0.0056 vs 0.0123
+    for steps in (20, 40, 80):
+        assert err(steps, solver="dpmpp") < err(steps, eta=0.0), steps
+    assert err(80, solver="dpmpp") < 0.5 * err(80, eta=0.0)
+    assert err(80, solver="dpmpp") < 0.2 * err(20, solver="dpmpp")
+    assert err(80, solver="dpmpp") < 0.01
+
+
+def test_dpmpp_eps_parameterisation():
+    """The eps path recovers x0 internally; for a denoiser defined to be
+    consistent with a fixed x0 field the dpmpp eps run must agree with the
+    dpmpp x0 run."""
+    c = jnp.asarray(np.linspace(-0.5, 0.5, 6, dtype=np.float32))[None]
+
+    def denoise_x0(x, tb, x_start):
+        return jnp.broadcast_to(c, x.shape)
+
+    def denoise_eps(x, tb, x_start):
+        alpha, sigma = schedule.log_snr_to_alpha_sigma(tb[0])
+        return (x - alpha * jnp.broadcast_to(c, x.shape)) / jnp.maximum(
+            sigma, 1e-8)
+
+    key = jax.random.PRNGKey(1)
+    kw = dict(shape=(1, 6), batch_size=1, steps=16,
+              log_snr_fn=schedule.beta_linear_log_snr, solver="dpmpp")
+    a = sampler.sample_loop(denoise_x0, key, df_type="x0", **kw)
+    b = sampler.sample_loop(denoise_eps, key, df_type="eps", **kw)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

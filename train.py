@@ -42,6 +42,11 @@ def parse_args():
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--sampler", choices=["ancestral", "dpmpp"], default=None,
+                   help="override diffusion.sampler (dpmpp = "
+                        "DPM-Solver++(2M) fast path)")
+    p.add_argument("--sample_steps", type=int, default=None,
+                   help="override diffusion.ddim_steps for generation")
     p.add_argument("--profile", type=int, default=0,
                    help="capture a jax.profiler trace for N steps "
                         "(written to <run_dir>/profile)")
@@ -92,6 +97,16 @@ def main():
     if args.logs_dir:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, logs_dir=args.logs_dir)
+        )
+    if args.sampler:
+        cfg = dataclasses.replace(
+            cfg, diffusion=dataclasses.replace(
+                cfg.diffusion, sampler=args.sampler)
+        )
+    if args.sample_steps:
+        cfg = dataclasses.replace(
+            cfg, diffusion=dataclasses.replace(
+                cfg.diffusion, ddim_steps=args.sample_steps)
         )
     run_dir = os.path.join(cfg.train.logs_dir, cfg.train.name)
     ckpt_dir = os.path.join(run_dir, "ckpt")
