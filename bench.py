@@ -61,10 +61,20 @@ def main():
     batch = collate([ds[0]])
     jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "filename"}
 
+    phase_t = {"start": time.time()}
+
+    def phase(name):
+        now = time.time()
+        last = phase_t.pop("_last", phase_t["start"])
+        phase_t[name] = now - last
+        phase_t["_last"] = now
+
     vae_solver = VAESolver(cfg)
     vae_state = vae_solver.init_state(key, jb, total_steps=10)
+    phase("init_vae")
     solver = UnionSolver(cfg, stage_flag="hr")
     state = solver.init_state(key, jb)
+    phase("init_union")
 
     def analytic_reg(octree):
         """Per-node lumpy-sphere planes: same shapes as the decoder output,
@@ -96,6 +106,8 @@ def main():
             return time.time()
         return t0
 
+    last_nnum = {}
+
     def submit(seed):
         """Dispatch one shape's FULL device pipeline without host syncs."""
         t0 = time.time()
@@ -104,6 +116,14 @@ def main():
             batch_size=1, steps=steps, compute_sdf=False,
         )
         octree_out = out["decode_out"]["octree_out"]
+        # occupancy of the grown octree: quantifies how the random-weight
+        # VAE's split predictions compare to trained-shape node counts
+        # (device scalars; fetched lazily at the end)
+        last_nnum.clear()
+        last_nnum.update(
+            {dd: octree_out.nnum[dd] for dd in range(m.full_depth,
+                                                     m.depth_out + 1)}
+        )
         t0 = vsync("cascade", octree_out.keys[m.depth_out], t0)
         reg = analytic_reg_jit(octree_out)
         t0 = vsync("analytic_reg", reg[m.depth_out], t0)
@@ -128,7 +148,10 @@ def main():
         return h
 
     # warm-up compiles every stage
-    nv, nf = finish(submit(0))
+    h0 = submit(0)
+    phase("warmup_submit")     # traces+compiles lr/grow/hr/decode/extract
+    nv, nf = finish(h0)
+    phase("warmup_finish")
 
     # steady-state generation: shape i's host marching + D2H overlap shape
     # i+1's device work (async dispatch; one device queue, so per-shape
@@ -155,11 +178,20 @@ def main():
                 "vs_baseline": round(dt / 2.0, 4),
                 "v5e8_throughput_est": round(dt / 8.0, 4),
                 "mesh_verts_last": int(nv),
+                "octree_nnum": {
+                    str(dd): int(v) for dd, v in last_nnum.items()
+                },
+                "node_cap_finest": finest_cap,
             }
         )
     )
+    phase_str = ", ".join(
+        f"{k} {v:.1f}s" for k, v in phase_t.items()
+        if k not in ("start", "_last")
+    )
     sys.stderr.write(
-        f"[bench] setup+compile {time.time() - t_setup - n_iters * dt:.1f}s, "
+        f"[bench] setup+compile {time.time() - t_setup - n_iters * dt:.1f}s "
+        f"({phase_str}), "
         f"devices={jax.devices()}, last mesh {nv} verts / {nf} faces\n"
     )
     del morton, np

@@ -62,6 +62,51 @@ def default_feature_extractor() -> Callable:
     return feat
 
 
+def standin_feature_extractor(seed: int = 0, dim: int = 256,
+                              image_size: int = 299) -> Callable:
+    """Fixed-seed random-convnet features — a DOCUMENTED STAND-IN for
+    InceptionV3 when no pretrained weights exist (zero-egress image).
+
+    Random convolutional features are a recognised substitute basis for
+    Frechet distances (the metric compares two sets under the SAME
+    embedding, so any fixed non-degenerate feature map yields a valid
+    relative distance; absolute values are NOT comparable to Inception-FID
+    numbers).  Architecture: 4x [3x3 conv stride 2, relu] with fixed
+    Gaussian weights, global mean+std pooling -> [N, dim].  Deterministic
+    by (seed, dim); results must be reported as ``fid_standin``, never as
+    FID."""
+    import jax
+    import jax.numpy as jnp
+
+    ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+    chans = [8, 16, 32, dim // 2]
+    kernels = []
+    cin = 1
+    for k, cout in zip(ks, chans):
+        w = jax.random.normal(k, (3, 3, cin, cout), jnp.float32)
+        w = w / np.sqrt(9 * cin)
+        kernels.append(w)
+        cin = cout
+
+    @jax.jit
+    def net(x):  # [N, S, S] -> [N, dim]
+        h = x[..., None]
+        for w in kernels:
+            h = jax.lax.conv_general_dilated(
+                h, w, window_strides=(2, 2), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            h = jax.nn.relu(h)
+        mean = h.mean(axis=(1, 2))
+        std = h.std(axis=(1, 2))
+        return jnp.concatenate([mean, std], axis=-1)
+
+    def feat(images: np.ndarray) -> np.ndarray:
+        return np.asarray(net(jnp.asarray(images, jnp.float32)))
+
+    return feat
+
+
 def per_view_fid(
     images1: np.ndarray,   # [N, V, S, S]
     images2: np.ndarray,   # [M, V, S, S]

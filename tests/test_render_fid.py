@@ -101,3 +101,22 @@ def test_raster_matches_reference_views():
     )
     d = n @ n.T - 2 * np.eye(20)
     assert d.max() < 0.999
+
+
+def test_standin_feature_extractor():
+    """The fixed-seed random-conv stand-in yields a valid relative Frechet
+    distance: ~0 for identical sets, clearly separated for disjoint image
+    distributions, and deterministic across constructions."""
+    rng = np.random.RandomState(0)
+    a = rng.uniform(0, 1, size=(96, 64, 64)).astype(np.float32)
+    b = (rng.uniform(0, 1, size=(96, 64, 64)) ** 3).astype(np.float32)
+
+    feat = fid.standin_feature_extractor(image_size=64)
+    fa, fb = feat(a), feat(b)
+    assert fa.shape == (96, 256)
+    np.testing.assert_allclose(
+        feat(a), fid.standin_feature_extractor(image_size=64)(a), atol=0
+    )
+    same = fid.fid_from_features(fa[:48], fa[48:])
+    diff = fid.fid_from_features(fa, fb)
+    assert diff > 4 * max(same, 1e-9), (same, diff)

@@ -50,6 +50,11 @@ def main():
     p.add_argument("--fid", action="store_true",
                    help="also compute per-view shading FID on mesh renders "
                         "(needs OCTFUSION_INCEPTION_WEIGHTS)")
+    p.add_argument("--fid_standin", action="store_true",
+                   help="per-view Frechet distance under the fixed-seed "
+                        "random-conv STAND-IN features (no pretrained "
+                        "weights needed; reported as fid_standin — NOT "
+                        "comparable to Inception-FID numbers)")
     p.add_argument("--fid_views", type=int, default=20)
     p.add_argument("--out", default=None)
     args = p.parse_args()
@@ -70,6 +75,13 @@ def main():
 
         res["shading_fid"] = fid_lib.shading_fid(
             s_paths, r_paths, n_views=args.fid_views
+        )
+    if args.fid_standin:
+        from octfusion_tpu.metrics import fid as fid_lib
+
+        res["shading_fid_standin"] = fid_lib.shading_fid(
+            s_paths, r_paths, n_views=args.fid_views,
+            feature_fn=fid_lib.standin_feature_extractor(),
         )
     print(json.dumps(res, indent=2))
     if args.out:
