@@ -13,7 +13,7 @@ image that ships no ShapeNet data.
 from __future__ import annotations
 
 import os
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -106,12 +106,17 @@ class SyntheticDataset:
 
     def __init__(self, size: int = 1000, point_sample_num: int = 10000,
                  points_per_shape: int = 65536, num_classes: int = 5,
-                 load_color: bool = False):
+                 load_color: bool = False, cache: bool = True):
         self.size = size
         self.point_sample_num = point_sample_num
         self.points_per_shape = points_per_shape
         self.num_classes = num_classes
         self.load_color = load_color
+        # items are deterministic functions of idx, and the Newton-projection
+        # surface sampling costs ~0.5 s/item on one core — cache epochs 2+
+        # (~0.3 MB/item; a dict write under the GIL is atomic, so worker
+        # threads at worst duplicate one compute)
+        self._cache: Optional[Dict[int, Dict]] = {} if cache else None
 
     def __len__(self):
         return self.size
@@ -171,6 +176,8 @@ class SyntheticDataset:
         return p
 
     def __getitem__(self, idx: int) -> Dict:
+        if self._cache is not None and idx in self._cache:
+            return self._cache[idx]
         rng = np.random.RandomState(idx * 9176 + 13)
         sdf = self._make_sdf(rng)
         surf = self._surface_points(sdf, rng, self.points_per_shape)
@@ -197,6 +204,8 @@ class SyntheticDataset:
             out["point_colors"] = (
                 (np.clip(surf, -1, 1) + 1.0) / 2.0
             ).astype(np.float32)
+        if self._cache is not None:
+            self._cache[idx] = out
         return out
 
 
