@@ -87,10 +87,20 @@ def pairwise_cd_emd(
     ref: jnp.ndarray,
     batch: int = 16,
     emd: bool = True,
+    row_block: int = 4,
 ):
     """All-pairs Chamfer (+EMD) matrices between two point-cloud sets
     (`metrics/evaluation_metrics.py:111-154`): sample [S,P,3], ref [R,P,3]
-    -> (cd [S,R], emd [S,R]).  Row-blocked over the reference set."""
+    -> (cd [S,R], emd [S,R]).
+
+    Blocked over BOTH sets: each jitted call evaluates a
+    [row_block x batch] tile of pairs (flattened into one vmap batch), so
+    the dispatch count is S*R/(row_block*batch) — at eval-set scale
+    (3*S^2 pairs, S = 2831-5956, `utils/util.py:19`) per-call dispatch
+    latency through the tunnelled device otherwise dominates.  Peak
+    device memory is ~3 matrices of [row_block*batch, P, P] floats (EMD
+    holds d2 + weights + match), so keep row_block*batch <= ~64 at
+    P = 2048 on a 16 GB chip."""
     import numpy as np
 
     s = sample.shape[0]
@@ -99,21 +109,32 @@ def pairwise_cd_emd(
     em = np.zeros((s, r), np.float32)
 
     @jax.jit
-    def row(si, refs):
-        a = jnp.broadcast_to(si[None], (refs.shape[0],) + si.shape)
-        dl, dr = chamfer(a, refs)
+    def tile(ss, rr):
+        rb, cb = ss.shape[0], rr.shape[0]
+        a = jnp.broadcast_to(ss[:, None], (rb, cb) + ss.shape[1:])
+        b = jnp.broadcast_to(rr[None], (rb, cb) + rr.shape[1:])
+        a = a.reshape((rb * cb,) + ss.shape[1:])
+        b = b.reshape((rb * cb,) + rr.shape[1:])
+        dl, dr = chamfer(a, b)
         cdv = dl.mean(-1) + dr.mean(-1)
-        emv = emd_approx(a, refs) if emd else jnp.zeros((refs.shape[0],))
-        return cdv, emv
+        emv = emd_approx(a, b) if emd else jnp.zeros((rb * cb,))
+        return cdv.reshape(rb, cb), emv.reshape(rb, cb)
 
-    for i in range(s):
+    def pad_to(x, n):
+        if x.shape[0] == n:
+            return x
+        reps = jnp.broadcast_to(
+            x[-1:], (n - x.shape[0],) + x.shape[1:]
+        )
+        return jnp.concatenate([x, reps], 0)
+
+    for i0 in range(0, s, row_block):
+        i1 = min(i0 + row_block, s)
+        rows = pad_to(sample[i0:i1], row_block)
         for j0 in range(0, r, batch):
             j1 = min(j0 + batch, r)
-            chunk = ref[j0:j1]
-            pad = batch - (j1 - j0)
-            if pad:
-                chunk = jnp.concatenate([chunk, chunk[-1:].repeat(pad, 0)], 0)
-            cdv, emv = row(sample[i], chunk)
-            cd[i, j0:j1] = np.asarray(cdv)[: j1 - j0]
-            em[i, j0:j1] = np.asarray(emv)[: j1 - j0]
+            cols = pad_to(ref[j0:j1], batch)
+            cdv, emv = tile(rows, cols)
+            cd[i0:i1, j0:j1] = np.asarray(cdv)[: i1 - i0, : j1 - j0]
+            em[i0:i1, j0:j1] = np.asarray(emv)[: i1 - i0, : j1 - j0]
     return cd, em
