@@ -108,12 +108,12 @@ def main():
 
     last_nnum = {}
 
-    def submit(seed):
+    def submit(seed, use_solver=None, use_steps=None):
         """Dispatch one shape's FULL device pipeline without host syncs."""
         t0 = time.time()
-        out = solver.sample(
+        out = (use_solver or solver).sample(
             state.ema_params, vae_state.params, jax.random.PRNGKey(seed),
-            batch_size=1, steps=steps, compute_sdf=False,
+            batch_size=1, steps=use_steps or steps, compute_sdf=False,
         )
         octree_out = out["decode_out"]["octree_out"]
         # occupancy of the grown octree: quantifies how the random-weight
@@ -167,6 +167,34 @@ def main():
         pending = nxt
     dt = (time.time() - t0) / n_iters
 
+    # secondary metric: the DPM-Solver++(2M) fast path at 50 steps (same
+    # cascade; quality parity measured in METRICS_r03.md).  Opt out with
+    # BENCH_FAST=0.
+    dt_fast = None
+    t_fast_total = 0.0
+    if os.environ.get("BENCH_FAST", "1") != "0":
+        import dataclasses
+
+        t_fast0 = time.time()
+        fast_steps = int(os.environ.get("BENCH_FAST_STEPS", "50"))
+        cfg_fast = dataclasses.replace(
+            cfg, diffusion=dataclasses.replace(
+                cfg.diffusion, sampler="dpmpp")
+        )
+        solver_fast = UnionSolver(cfg_fast, stage_flag="hr")
+        finish(submit(0, use_solver=solver_fast, use_steps=fast_steps))
+        phase("warmup_fast")
+        t0 = time.time()
+        pending = submit(1, use_solver=solver_fast, use_steps=fast_steps)
+        for i in range(n_iters):
+            nxt = (submit(i + 2, use_solver=solver_fast,
+                          use_steps=fast_steps)
+                   if i + 1 < n_iters else None)
+            finish(pending)
+            pending = nxt
+        dt_fast = (time.time() - t0) / n_iters
+        t_fast_total = time.time() - t_fast0
+
     print(
         json.dumps(
             {
@@ -182,6 +210,9 @@ def main():
                     str(dd): int(v) for dd, v in last_nnum.items()
                 },
                 "node_cap_finest": finest_cap,
+                "dpmpp_50step_s_per_shape": (
+                    round(dt_fast, 4) if dt_fast is not None else None
+                ),
             }
         )
     )
@@ -190,7 +221,8 @@ def main():
         if k not in ("start", "_last")
     )
     sys.stderr.write(
-        f"[bench] setup+compile {time.time() - t_setup - n_iters * dt:.1f}s "
+        f"[bench] setup+compile "
+        f"{time.time() - t_setup - n_iters * dt - t_fast_total:.1f}s "
         f"({phase_str}), "
         f"devices={jax.devices()}, last mesh {nv} verts / {nf} faces\n"
     )

@@ -54,8 +54,24 @@ def rotate(ckpt_dir: str, ckpt_num: int):
 
 
 def restore(path: str, example_tree: Any) -> Any:
-    ckptr = _checkpointer()
-    return ckptr.restore(os.path.abspath(path), example_tree)
+    path = os.path.abspath(path)
+    if example_tree is None:
+        # Template-less restore (e.g. --vq_ckpt / --pretrain_ckpt grafting).
+        # The orbax default replays the shardings recorded at save time,
+        # which fails when the checkpoint moves across topologies (saved on
+        # the TPU, restored on a CPU host or a different slice).  Restore as
+        # host numpy arrays instead — callers re-place them on device.
+        import jax
+        import numpy as np
+
+        ckptr = ocp.PyTreeCheckpointer()
+        meta = ckptr.metadata(path).item_metadata.tree
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta,
+            is_leaf=lambda x: not isinstance(x, (dict, list, tuple)),
+        )
+        return ckptr.restore(path, restore_args=restore_args)
+    return _checkpointer().restore(path, example_tree)
 
 
 def latest_path(ckpt_dir: str) -> Optional[str]:

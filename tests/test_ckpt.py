@@ -39,3 +39,18 @@ def test_rotation_and_latest(tmp_path):
 
 def test_latest_path_empty(tmp_path):
     assert ckpt_lib.latest_path(str(tmp_path / "nope")) is None
+
+
+def test_templateless_restore_is_host_numpy(tmp_path):
+    """`restore(path, None)` (the --vq_ckpt / --pretrain_ckpt grafting path)
+    must materialise host numpy arrays and ignore the shardings recorded at
+    save time — a checkpoint written on the TPU must load on a CPU host
+    (`models/model_utils.py:6-35` tolerance contract)."""
+    d = str(tmp_path / "ckpt")
+    ckpt_lib.save(d, make_state(5), step=5, ckpt_num=2)
+    out = ckpt_lib.restore(os.path.join(d, "steps-5"), None)
+    leaves = jax.tree_util.tree_leaves(out)
+    assert leaves and all(isinstance(x, np.ndarray) for x in leaves), [
+        type(x) for x in leaves
+    ]
+    np.testing.assert_allclose(out["params"]["w"], 5.0)

@@ -15,6 +15,7 @@ import glob
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -61,15 +62,21 @@ def main():
 
     from octfusion_tpu.metrics import evaluation
 
+    t0 = time.time()
     s_paths = sorted(glob.glob(args.samples))
     r_paths = sorted(glob.glob(args.reference))
     assert s_paths and r_paths, (args.samples, args.reference)
     sp, _ = meshes_to_pointclouds(s_paths, args.points, seed=0)
     rp, _ = meshes_to_pointclouds(r_paths, args.points, seed=10_000)
+    t_sample = time.time() - t0
     print(f"[*] {len(sp)} samples vs {len(rp)} references "
-          f"({args.points} pts each)")
+          f"({args.points} pts each, surface sampling {t_sample:.1f}s)")
+    t1 = time.time()
     res = evaluation.evaluate_point_sets(sp, rp, batch=args.batch,
                                          emd=args.emd)
+    res["wall_s_pointcloud_sampling"] = round(t_sample, 1)
+    res["wall_s_pairwise_metrics"] = round(time.time() - t1, 1)
+    t1 = time.time()
     if args.fid:
         from octfusion_tpu.metrics import fid as fid_lib
 
@@ -83,6 +90,8 @@ def main():
             s_paths, r_paths, n_views=args.fid_views,
             feature_fn=fid_lib.standin_feature_extractor(),
         )
+    if args.fid or args.fid_standin:
+        res["wall_s_fid"] = round(time.time() - t1, 1)
     print(json.dumps(res, indent=2))
     if args.out:
         with open(args.out, "w") as fh:
