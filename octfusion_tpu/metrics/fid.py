@@ -59,6 +59,7 @@ def default_feature_extractor() -> Callable:
         with torch.no_grad():
             return net(x).numpy()
 
+    feat.cache_tag = "inception_v3"
     return feat
 
 
@@ -104,6 +105,7 @@ def standin_feature_extractor(seed: int = 0, dim: int = 256,
     def feat(images: np.ndarray) -> np.ndarray:
         return np.asarray(net(jnp.asarray(images, jnp.float32)))
 
+    feat.cache_tag = f"standin_s{seed}_d{dim}"
     return feat
 
 
@@ -142,10 +144,65 @@ def render_mesh_set(paths, image_size: int = 299, n_views: int = 20
     return np.stack(out)
 
 
+def mesh_set_features(paths, image_size: int = 299, n_views: int = 20,
+                      feature_fn: Optional[Callable] = None,
+                      cache_dir: Optional[str] = None) -> np.ndarray:
+    """[N, V, D] per-view features of a mesh set, streamed one mesh at a
+    time (constant memory; the single-host rasteriser is the cost, ~3 s per
+    mesh x 20 views at 299^2).
+
+    With ``cache_dir`` the per-mesh feature matrix is memoised on disk
+    keyed by (basename, mtime, size, views, extractor ``cache_tag``) so a
+    set scored against several sample sets — e.g. the fixed reference set —
+    renders only once.  Extractors without a ``cache_tag`` never cache."""
+    feature_fn = feature_fn or default_feature_extractor()
+    from ..utils.mesh import load_obj
+    from .render import render_mesh_views_raster
+
+    tag = getattr(feature_fn, "cache_tag", None)
+    if cache_dir and tag:
+        os.makedirs(cache_dir, exist_ok=True)
+    out = []
+    for p in paths:
+        cpath = None
+        if cache_dir and tag:
+            st = os.stat(p)
+            cpath = os.path.join(
+                cache_dir,
+                f"{os.path.basename(p)}-{int(st.st_mtime)}-{st.st_size}"
+                f"-s{image_size}v{n_views}-{tag}.npy",
+            )
+            if os.path.exists(cpath):
+                out.append(np.load(cpath))
+                continue
+        v, f = load_obj(p)
+        imgs = render_mesh_views_raster(
+            v, f, image_size=image_size, n_views=n_views
+        )
+        feats = feature_fn(imgs)
+        if cpath:
+            np.save(cpath, feats)
+        out.append(feats)
+    return np.stack(out)
+
+
+def per_view_fid_from_features(f1: np.ndarray, f2: np.ndarray) -> float:
+    """Average FID over views, features [N, V, D] (`calc_fid.py:35-46`)."""
+    return float(np.mean([
+        fid_from_features(f1[:, vi], f2[:, vi])
+        for vi in range(f1.shape[1])
+    ]))
+
+
 def shading_fid(sample_paths, reference_paths, image_size: int = 299,
                 n_views: int = 20,
-                feature_fn: Optional[Callable] = None) -> float:
+                feature_fn: Optional[Callable] = None,
+                cache_dir: Optional[str] = None,
+                reference_cache_dir: Optional[str] = None) -> float:
     """End-to-end per-view shading FID between two mesh sets."""
-    imgs1 = render_mesh_set(sample_paths, image_size, n_views)
-    imgs2 = render_mesh_set(reference_paths, image_size, n_views)
-    return per_view_fid(imgs1, imgs2, feature_fn=feature_fn)
+    feature_fn = feature_fn or default_feature_extractor()
+    f1 = mesh_set_features(sample_paths, image_size, n_views, feature_fn,
+                           cache_dir=cache_dir)
+    f2 = mesh_set_features(reference_paths, image_size, n_views, feature_fn,
+                           cache_dir=reference_cache_dir or cache_dir)
+    return per_view_fid_from_features(f1, f2)

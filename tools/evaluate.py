@@ -77,18 +77,28 @@ def main():
     res["wall_s_pointcloud_sampling"] = round(t_sample, 1)
     res["wall_s_pairwise_metrics"] = round(time.time() - t1, 1)
     t1 = time.time()
+    def _fid_caches():
+        # per-set feature caches next to the meshes: the fixed reference set
+        # renders once across repeated evals of different sample sets
+        return (os.path.join(os.path.dirname(s_paths[0]), ".fid_cache"),
+                os.path.join(os.path.dirname(r_paths[0]), ".fid_cache"))
+
     if args.fid:
         from octfusion_tpu.metrics import fid as fid_lib
 
+        sc, rc = _fid_caches()
         res["shading_fid"] = fid_lib.shading_fid(
-            s_paths, r_paths, n_views=args.fid_views
+            s_paths, r_paths, n_views=args.fid_views,
+            cache_dir=sc, reference_cache_dir=rc,
         )
     if args.fid_standin:
         from octfusion_tpu.metrics import fid as fid_lib
 
+        sc, rc = _fid_caches()
         res["shading_fid_standin"] = fid_lib.shading_fid(
             s_paths, r_paths, n_views=args.fid_views,
             feature_fn=fid_lib.standin_feature_extractor(),
+            cache_dir=sc, reference_cache_dir=rc,
         )
     if args.fid or args.fid_standin:
         res["wall_s_fid"] = round(time.time() - t1, 1)
