@@ -131,6 +131,8 @@ def render_mesh_views_raster(
             inside &= zz > 1e-4
             pix = py * image_size + px
             pix = pix[inside]
+            if pix.size == 0:
+                continue
             zz = zz[inside]
             sh = lam[c0 + tri_id[inside]]
             # nearest-per-pixel within the chunk, then merge with the buffer

@@ -120,3 +120,25 @@ def test_standin_feature_extractor():
     same = fid.fid_from_features(fa[:48], fa[48:])
     diff = fid.fid_from_features(fa, fb)
     assert diff > 4 * max(same, 1e-9), (same, diff)
+
+
+def test_raster_empty_chunk_regression():
+    """A face chunk whose candidate pixels are ALL rejected (degenerate
+    sliver triangles: bbox rounds to a pixel but the barycentric test
+    rejects its centre) must not crash the per-chunk z-merge (the
+    `pix_s[1:] != pix_s[:-1]` first-mask is ill-formed on empty arrays;
+    crashed on ref_010251 of the round-3 reference set)."""
+    sv, sf = sphere_mesh()
+    # a degenerate micro-sliver in its own chunk: area ~1e-18, so the
+    # barycentric denominator underflows the 1e-12 cutoff and every
+    # candidate pixel is rejected -> empty chunk
+    v = np.concatenate(
+        [sv, np.array([[0.3, 0.3, 0.0], [0.3 + 1e-9, 0.3, 0.0],
+                       [0.3, 0.3 + 1e-9, 0.0]])]
+    )
+    f = np.concatenate([sf, np.array([[0, 1, 2]]) + len(sv)])
+    img = render.render_mesh_views_raster(
+        v, f, image_size=64, n_views=20, face_chunk=len(sf)
+    )
+    assert img.shape == (20, 64, 64)
+    assert float(img.max()) > 0.3
