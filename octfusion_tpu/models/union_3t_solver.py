@@ -162,6 +162,32 @@ class Union3TSolver(UnionSolver):
         )
         return jnp.where(lvl.node_mask[:, None], out, 0.0)
 
+    def dp_cascade(self, params, vae_params, key, label=None,
+                   steps: Optional[int] = None):
+        """Three-hop per-device cascade for the shard_map DP-generation
+        path (`octfusion_model_union_3t.py:152-214` under one trace)."""
+        k1, k2, k3 = jax.random.split(key, 3)
+        split_small = self.sample_lr(params, k1, batch_size=1, label=label,
+                                     steps=steps)
+        o = split_codec.split2octree_small(split_small, self.spec1)
+        g6 = build_dual_graph(o, self.edge_factor, up_to=self.hr_depth)
+        if use_fused_conv():
+            g6 = with_conv_plans(g6)
+        split_large = self.sample_stage(
+            params, k2, g6, label, self.hr_depth, 8, "hr", 1, steps
+        )
+        cur = split_large[g6.spec.cur_off(self.hr_depth):]
+        o2 = split_codec.split2octree_large(o, cur, self.hr_depth)
+        g8 = build_dual_graph(o2, self.edge_factor, up_to=self.code_depth)
+        if use_fused_conv():
+            g8 = with_conv_plans(g8)
+        code = self.sample_stage(
+            params, k3, g8, label, self.code_depth,
+            self.cfg.model.embed_dim, "feature", 1, steps,
+        )
+        return self.vae.apply(vae_params, code, g8,
+                              method=GraphVAE.decode_grow)
+
     def sample(self, params, vae_params, key, batch_size: int = 1,
                label=None, steps: Optional[int] = None,
                resolution: Optional[int] = None, save_paths=None,

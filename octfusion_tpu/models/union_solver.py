@@ -284,6 +284,25 @@ class UnionSolver:
         )
         return jnp.where(lvl.node_mask[:, None], code, 0.0)
 
+    def dp_cascade(self, params, vae_params, key, label=None,
+                   steps: Optional[int] = None):
+        """One shape's full generation cascade as a single traceable fn —
+        the per-device body of the shard_map DP-generation path
+        (`parallel.train_step.make_dp_sample`; reference work sharding
+        `train.py:166-177`).  Returns the growing-decode output
+        (``reg_voxs`` + ``octree_out``); the caller evaluates the SDF grid."""
+        k1, k2 = jax.random.split(key)
+        split = self.sample_lr(params, k1, batch_size=1, label=label,
+                               steps=steps)
+        octree = split_codec.split2octree_small(split, self.spec1)
+        g = build_dual_graph(octree, self.edge_factor, up_to=self.small_depth)
+        if use_fused_conv():
+            g = with_conv_plans(g)
+        code = self.sample_hr(params, k2, g, batch_size=1, label=label,
+                              steps=steps)
+        return self.vae.apply(vae_params, code, g,
+                              method=GraphVAE.decode_grow)
+
     def export_octree(self, octree, depth: int, save_paths):
         """Dump octree occupancy at ``depth`` as cube-face OBJ meshes
         (`octfusion_model_union.py:403-422`)."""

@@ -121,9 +121,10 @@ def make_union_dp_train_step(solver, mesh: Mesh):
 def make_dp_sample(solver, mesh: Mesh, steps=None, resolution: int = 256,
                    near_frac: float = 0.125, compact: bool = True):
     """Data-parallel generation: every device of the 'data' axis runs the
-    full cascade (lr sample -> octree growth -> hr sample -> growing decode
-    -> SDF grid) for its own shape — the v5e-8 throughput path the
-    single-chip benchmark extrapolates to.
+    full cascade (lr sample -> octree growth -> hr [-> feature] sample ->
+    growing decode -> SDF grid) for its own shape — the v5e-8 throughput
+    path the single-chip benchmark extrapolates to.  The per-device body is
+    ``solver.dp_cascade`` (2-stage UnionSolver or 3-hop Union3TSolver).
 
     Returns a jitted fn(params, vae_params, keys [n_data], labels|None).
     With ``compact`` (default) it returns
@@ -135,42 +136,19 @@ def make_dp_sample(solver, mesh: Mesh, steps=None, resolution: int = 256,
     ``compact=False`` it returns just the dense fp16 grids."""
     import jax.numpy as jnp
 
-    from ..nn.vae import GraphVAE
-    from ..octree import split_codec
-    from ..octree.dual_graph import build_dual_graph
     from ..utils import sdf as sdf_utils
 
     m = solver.cfg.model
-    spec = solver.spec1  # batch 1 per device
     n_steps = steps or solver.cfg.diffusion.ddim_steps
 
     def local(params, vae_params, key, label):
         # the caller provides one key per shape index (reference semantics:
         # sample i reproducible from seed+i alone, `train.py:166-177`,
         # `octfusion_model_union.py:372`) — do NOT fold the device index in
-        k1, k2 = jax.random.split(key[0])
-        split = solver.sample_lr(
-            params, k1, batch_size=1,
+        out = solver.dp_cascade(
+            params, vae_params, key[0],
             label=None if label is None else label[:1],
             steps=n_steps,
-        )
-        octree = split_codec.split2octree_small(split, spec)
-        g = build_dual_graph(
-            octree, solver.edge_factor, up_to=solver.small_depth
-        )
-        from ..models.union_solver import use_fused_conv
-
-        if use_fused_conv():
-            from ..octree.dual_graph import with_conv_plans
-
-            g = with_conv_plans(g)
-        code = solver.sample_hr(
-            params, k2, g, batch_size=1,
-            label=None if label is None else label[:1],
-            steps=n_steps,
-        )
-        out = solver.vae.apply(
-            vae_params, code, g, method=GraphVAE.decode_grow
         )
         from ..ops import mpu as mpu_ops
 

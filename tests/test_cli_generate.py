@@ -59,3 +59,58 @@ train: {lr: 0.001}
     # have attempted every index in one jitted program per device chunk
     assert "[*] wrote" in out.stdout
     assert len([f for f in written if f.endswith(".obj")]) >= 1
+
+
+def test_cli_generate_multi_device_union_3t(tmp_path):
+    """The DP generation path must run the 3-hop union_3t cascade per
+    device (previously gated to the pipelined per-shape path: the inherited
+    2-stage cascade would sample embed_dim codes for the split_large
+    'hr' U-Net — round-2 advisor finding)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(__file__))
+    cfg = tmp_path / "cfg3t.yaml"
+    cfg.write_text(
+        """
+solver: {resolution: 16}
+model:
+  depth: 5
+  full_depth: 2
+  depth_stop: 4
+  depth_out: 5
+  embed_dim: 2
+  resblk_num: 1
+  channels: [4, 8, 8, 8, 8, 8]
+  use_checkpoint: false
+capacity: {finest_cap: 4096, decay: 1.0}
+data:
+  name: synthetic
+  batch_size: 2
+  point_sample_num: 64
+  points_per_shape: 1024
+diffusion:
+  ddim_steps: 2
+  unet_type: [lr, hr, feature]
+  df_type: [x0, x0, x0]
+  input_depth: [2, 3, 4]
+  input_channels: [8, 8, 2]
+  out_channels: [8, 8, 2]
+  model_channels: [8, 16, 16]
+  num_res_blocks: [[1, 1], [1, 0], [1, 0]]
+  channel_mult: [[1, 2], [1, 1], [1, 1]]
+  attention_resolutions: []
+train: {lr: 0.001}
+"""
+    )
+    out = subprocess.run(
+        [sys.executable, "train.py", "--model", "union_3t", "--stage",
+         "feature", "--mode", "generate", "--config", str(cfg), "--name",
+         "gen3t", "--logs_dir", str(tmp_path / "logs"), "--count", "8"],
+        env=env, capture_output=True, text=True, timeout=1200,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "[*] wrote" in out.stdout

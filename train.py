@@ -245,12 +245,12 @@ def main():
         rank = jax.process_index()
         my_idx = list(range(rank, args.count, world))
         rdir = os.path.join(run_dir, f"results_{args.category}")
-        # make_dp_sample implements the 2-stage union cascade; union_3t's
-        # 3-hop cascade (overridden Union3TSolver.sample) must take the
-        # pipelined per-shape path below.  Work stripes per process, so the
+        # make_dp_sample runs solver.dp_cascade per device (2-stage union or
+        # the 3-hop union_3t cascade).  Work stripes per process, so the
         # generation mesh spans this process's LOCAL devices only.
         n_loc = jax.local_device_count()
-        if args.model == "union" and n_loc > 1 and len(my_idx) > 1:
+        if args.model in ("union", "union_3t") and n_loc > 1 \
+                and len(my_idx) > 1:
             # all local devices run full cascades in ONE jitted program
             # (the v5e-8 throughput path; SURVEY §2.3 generation sharding);
             # compact active-cell transfer + host cell marching per shape
