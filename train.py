@@ -363,8 +363,12 @@ def main():
     # edge-cap/conv-plan overflow at a non-print step still raises at the
     # next print (the loader pre-filter only covers node caps)
     from octfusion_tpu.utils.overflow import OverflowMonitor
+    from octfusion_tpu.utils.watchdog import StallWatchdog
 
     ovf = OverflowMonitor()
+    # fail loudly if the device transport wedges (dead relay -> every fetch
+    # blocks forever); exit 3 lets a launcher restart + auto-resume
+    dog = StallWatchdog()
     for it in range(start, total_steps):
         if args.profile and it == start + 1:  # skip the compile step
             jax.profiler.start_trace(os.path.join(run_dir, "profile"))
@@ -390,6 +394,7 @@ def main():
             dt = (time.time() - t0) / max(it - start + 1, 1)
             vis.print_current_errors(it, {k2: v for k2, v in ld.items()}, dt)
             ovf.check()
+            dog.poke()  # the loss fetch above proved end-to-end progress
         if args.profile and it == prof_until:
             jax.block_until_ready(jax.tree_util.tree_leaves(state.params)[0])
             jax.profiler.stop_trace()
@@ -421,6 +426,7 @@ def main():
         if is_main and (it + 1) % cfg.train.save_latest_freq == 0:
             ckpt_lib.save(ckpt_dir, state, it + 1, cfg.train.ckpt_num)
             print(f"[*] saved checkpoint at step {it + 1}")
+    dog.stop()
     ovf.check()
     if is_main:
         ckpt_lib.save(ckpt_dir, state, total_steps, cfg.train.ckpt_num)
