@@ -50,6 +50,43 @@ def main():
     finest_cap = int(os.environ.get("BENCH_FINEST_CAP", "131072"))
     n_iters = int(os.environ.get("BENCH_ITERS", "5"))
 
+    # Fail fast (still printing the contract's one JSON line) if the device
+    # transport is wedged — a dead TPU relay makes every op block forever,
+    # which would otherwise hang the driver.  The probe budget covers a cold
+    # remote compile of the trivial program (50-300 s).
+    probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "600"))
+    if probe_timeout > 0:
+        import threading
+
+        probe_ok = threading.Event()
+
+        def _probe():
+            x = jax.jit(lambda a: a * 2 + 1)(jnp.ones((128, 128)))
+            np.asarray(x.reshape(-1)[:1])
+            probe_ok.set()
+
+        threading.Thread(target=_probe, daemon=True).start()
+        if not probe_ok.wait(probe_timeout):
+            print(
+                json.dumps(
+                    {
+                        "metric": (
+                            "sec_per_shape_depth8_"
+                            f"cap{finest_cap // 1024}k_e2e_mesh"
+                        ),
+                        "value": None,
+                        "unit": "s/shape",
+                        "vs_baseline": None,
+                        "error": (
+                            f"device unreachable: a trivial jit did not "
+                            f"complete within {probe_timeout:.0f}s (wedged "
+                            "relay/tunnel?)"
+                        ),
+                    }
+                )
+            )
+            sys.exit(2)
+
     cfg = Config(
         solver=SolverConfig(resolution=resolution),
         capacity=CapacityConfig(finest_cap=finest_cap),
