@@ -84,3 +84,58 @@ def test_depth9_build_encode_decode_grow():
     ne = np.asarray(oc.nempty_mask(stop))
     np.testing.assert_array_equal(ne[nmask], (label > 0)[nmask])
     assert int(oc.nnum[depth]) == 8 * int(oc.nnum_nempty[stop])
+
+
+def test_depth10_config_and_build():
+    """Depth-10 (1024^3, the reference's Objaverse eval ceiling,
+    `configs/vae_obja_eval.yaml`): config parses, Morton keys cover it,
+    and build -> dual graph -> encode -> growing decode runs at tiny caps."""
+    cfg = config_lib.load_config("configs/vae_obja_depth1084.yaml")
+    m = cfg.model
+    assert (m.depth, m.full_depth, m.depth_stop, m.depth_out) == (
+        10, 4, 8, 10)
+    assert len(m.channels) == 11 and m.channels[10] == 8
+    from octfusion_tpu.octree import morton
+    assert m.depth == morton.MAX_DEPTH
+
+    depth, full_depth, stop = 10, 3, 8
+    rng = np.random.RandomState(1)
+    v = rng.normal(size=(400, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    spec = OctreeSpec.create(
+        depth, full_depth, 1,
+        caps_override=(1, 8, 64, 512, 2048, 4096, 4096, 4096, 4096,
+                       4096, 32768),
+    )
+    o = build_octree(
+        jnp.asarray((0.55 * v).astype(np.float32)),
+        jnp.asarray(v.astype(np.float32)), spec,
+    )
+    assert not bool(jnp.any(o.overflow))
+    assert int(o.nnum[10]) > 0, "no depth-10 nodes built"
+    # keys remain valid int32 (30 bits) and strictly sorted per batch
+    k10 = np.asarray(o.keys[10])[: int(o.nnum[10])]
+    assert k10.min() >= 0 and (np.diff(k10) > 0).all()
+
+    g = build_dual_graph(o)
+    for d in range(full_depth, depth + 1):
+        assert not bool(g.level(d).overflow), d
+
+    vae = GraphVAE(
+        depth=depth, full_depth=full_depth, depth_stop=stop,
+        depth_out=depth, embed_dim=2, resblk_num=1,
+        channels=(4, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8),
+        use_checkpoint=False,
+    )
+    key = jax.random.PRNGKey(0)
+    params = vae.init(key, g, g, key)
+    octree_small = copy_topology_octree(o, stop)
+    g_small = build_dual_graph(octree_small, up_to=stop)
+
+    def run(p):
+        mean, _ = vae.apply(p, g, method=GraphVAE.encode)
+        return vae.apply(p, mean, g_small, method=GraphVAE.decode_grow)
+
+    out = jax.jit(run)(params)
+    oc = out["octree_out"]
+    assert int(oc.nnum[depth]) == 8 * int(oc.nnum_nempty[depth - 1])
