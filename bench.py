@@ -49,6 +49,11 @@ def main():
     resolution = int(os.environ.get("BENCH_RESOLUTION", "256"))
     finest_cap = int(os.environ.get("BENCH_FINEST_CAP", "131072"))
     n_iters = int(os.environ.get("BENCH_ITERS", "5"))
+    # Cross-shape batching: B full cascades share one program (per-sample
+    # capacities, so device compute scales ~linearly, but program dispatch,
+    # plan builds and the D2H/marching tail amortise).  The reported value
+    # stays per-shape (elapsed / (iters * B)).
+    bench_batch = int(os.environ.get("BENCH_BATCH", "1"))
 
     # Fail fast (still printing the contract's one JSON line) if the device
     # transport is wedged — a dead TPU relay makes every op block forever,
@@ -177,7 +182,8 @@ def main():
         t0 = time.time()
         out = (use_solver or solver).sample(
             state.ema_params, vae_state.params, jax.random.PRNGKey(seed),
-            batch_size=1, steps=use_steps or steps, compute_sdf=False,
+            batch_size=bench_batch, steps=use_steps or steps,
+            compute_sdf=False,
         )
         octree_out = out["decode_out"]["octree_out"]
         # occupancy of the grown octree: quantifies how the random-weight
@@ -192,7 +198,8 @@ def main():
         reg = analytic_reg_jit(octree_out)
         t0 = vsync("analytic_reg", reg[m.depth_out], t0)
         return sdf_utils.extract_meshes_submit(
-            reg, octree_out, m.full_depth, m.depth_out, 1, size=resolution,
+            reg, octree_out, m.full_depth, m.depth_out, bench_batch,
+            size=resolution,
             bbmin=-cfg.solver.sdf_scale, bbmax=cfg.solver.sdf_scale,
         )
 
@@ -201,7 +208,7 @@ def main():
         meshes = sdf_utils.extract_meshes_finish(handle)
         if verbose:
             sys.stderr.write(f"  [mesh host] {time.time() - t0:.3f}s\n")
-        verts, faces = meshes[0]
+        verts, faces = meshes[-1]
         return len(verts), len(faces)
 
     def submit_timed(seed):
@@ -229,7 +236,7 @@ def main():
         if verbose:
             sys.stderr.write(f"  [iter] {time.time() - ti:.3f}s\n")
         pending = nxt
-    dt = (time.time() - t0) / n_iters
+    dt = (time.time() - t0) / (n_iters * bench_batch)
 
     # secondary metric: the DPM-Solver++(2M) fast path at 50 steps (same
     # cascade; quality parity measured in METRICS_r03.md).  Opt out with
@@ -256,7 +263,7 @@ def main():
                    if i + 1 < n_iters else None)
             finish(pending)
             pending = nxt
-        dt_fast = (time.time() - t0) / n_iters
+        dt_fast = (time.time() - t0) / (n_iters * bench_batch)
         t_fast_total = time.time() - t_fast0
 
     print(
@@ -274,6 +281,7 @@ def main():
                     str(dd): int(v) for dd, v in last_nnum.items()
                 },
                 "node_cap_finest": finest_cap,
+                "batch": bench_batch,
                 "dpmpp_50step_s_per_shape": (
                     round(dt_fast, 4) if dt_fast is not None else None
                 ),

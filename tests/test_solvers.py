@@ -127,3 +127,26 @@ def test_union_hr_stage_and_cascade(batch, tmp_path):
     )
     assert out["sdfs"].shape == (1, 24, 24, 24)
     assert np.isfinite(out["sdfs"]).all()
+
+
+def test_union_cascade_batched(batch, tmp_path):
+    """Cross-shape batched cascade (bench.py BENCH_BATCH / throughput
+    mode): one program carries B independent samples through lr -> growth
+    -> hr -> decode -> SDF, with per-sample capacities scaled by
+    ``OctreeSpec.with_batch_size``."""
+    cfg = tiny_config()
+    vae_solver = VAESolver(cfg)
+    key = jax.random.PRNGKey(4)
+    vae_state = vae_solver.init_state(key, batch, total_steps=10)
+    solver = UnionSolver(cfg, stage_flag="hr")
+    state = solver.init_state(key, batch)
+    paths = [str(tmp_path / f"s{i}.obj") for i in range(2)]
+    out = solver.sample(
+        state.ema_params, vae_state.params, key, batch_size=2, steps=4,
+        resolution=24, save_paths=paths,
+    )
+    assert out["sdfs"].shape == (2, 24, 24, 24)
+    assert np.isfinite(out["sdfs"]).all()
+    assert out["split_small"].shape[0] == 2
+    # batch elements must consume distinct noise streams
+    assert float(jnp.abs(out["sdfs"][0] - out["sdfs"][1]).max()) > 0
