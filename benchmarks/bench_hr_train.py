@@ -4,8 +4,11 @@ inside the jitted step — training topology changes per batch).
     python benchmarks/bench_hr_train.py [finest_cap]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -4,8 +4,11 @@ table; the hr step has its own fused-vs-XLA bench in bench_hr_train.py).
     python benchmarks/bench_train_steps.py [finest_cap] [batch]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

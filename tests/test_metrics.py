@@ -59,6 +59,21 @@ def test_emd_vs_native_and_exact():
         assert cost_jax[i] <= exact * 1.6 + 1e-3, (cost_jax[i], exact)
 
 
+def test_emd_bf16_store_matches_fp32():
+    # the HBM-saving bf16 auction option (used by tools/evaluate.py
+    # --emd_bf16) must stay within a fraction of approxmatch's own ~2%
+    # algorithmic error vs exact EMD
+    a, b = clouds(b=4, n=128, m=128, seed=7)
+    e32 = np.asarray(distances.emd_approx(jnp.asarray(a), jnp.asarray(b)))
+    e16 = np.asarray(
+        distances.emd_approx(
+            jnp.asarray(a), jnp.asarray(b), store_dtype=jnp.bfloat16
+        )
+    )
+    assert e16.dtype == np.float32  # cost reduction is fp32
+    np.testing.assert_allclose(e16, e32, rtol=5e-3)
+
+
 def test_emd_identical_clouds_near_zero():
     a, _ = clouds(b=1, n=40, m=40, seed=3)
     cost = float(distances.emd_approx(jnp.asarray(a), jnp.asarray(a))[0])

@@ -47,6 +47,9 @@ def main():
     p.add_argument("--reference", required=True)
     p.add_argument("--points", type=int, default=2048)
     p.add_argument("--emd", action="store_true")
+    p.add_argument("--emd_bf16", action="store_true",
+                   help="store the EMD auction matrices in bfloat16 "
+                        "(~2x faster at eval scale, <0.25%% off fp32)")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--fid", action="store_true",
                    help="also compute per-view shading FID on mesh renders "
@@ -73,7 +76,8 @@ def main():
           f"({args.points} pts each, surface sampling {t_sample:.1f}s)")
     t1 = time.time()
     res = evaluation.evaluate_point_sets(sp, rp, batch=args.batch,
-                                         emd=args.emd)
+                                         emd=args.emd,
+                                         emd_bf16=args.emd_bf16)
     res["wall_s_pointcloud_sampling"] = round(t_sample, 1)
     res["wall_s_pairwise_metrics"] = round(time.time() - t1, 1)
     t1 = time.time()
