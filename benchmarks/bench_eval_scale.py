@@ -73,8 +73,8 @@ def main():
                   f"-> {rate:9.1f} pairs/s")
 
     print("\nprojected full-eval wall-clock (3*S^2 pairs: M_sr+M_ss+M_rr, "
-          "CD+EMD together pay the max of the two rates; bf16-stored EMD "
-          "auction, <0.25% off fp32):")
+          "CD+EMD run sequentially so each pair pays the sum of the two "
+          "per-pair costs; bf16-stored EMD auction, <0.25% off fp32):")
     pair_rate = 1.0 / (1.0 / best["chamfer"] + 1.0 / best["emd_bf16"])
     for cat, s in sorted(CATEGORY_SIZES.items(), key=lambda kv: kv[1]):
         pairs = 3 * s * s

@@ -81,11 +81,21 @@ class DiffusionConfig:
     noise_schedule: str = "linear"
     ddim_steps: int = 200
     # 'ancestral' = the reference's exact update rules; 'dpmpp' =
-    # DPM-Solver++(2M), the TPU fast path (same quality at ~4x fewer
-    # denoiser calls — measured in METRICS_r03.md).  Pair 'dpmpp' with a
+    # DPM-Solver++(2M), the TPU fast path (~4x fewer denoiser calls;
+    # occupancy pre-flights show it at least as split-faithful as
+    # ancestral on identical weights — METRICS_r03.md; scored-metric
+    # parity is measured in METRICS_r04.md).  Pair 'dpmpp' with a
     # reduced ddim_steps (e.g. 50).
     sampler: str = "ancestral"
     truncated_time: float = 0.7
+    # Occupancy weighting for the lr stage's x0-MSE: entries whose
+    # ground-truth split value is positive (occupied — ~4-5% of the grid,
+    # reference codec `utils/util_dualoctree.py:199-211`) get this weight,
+    # empty entries weight 1.  1.0 = reference-parity unweighted loss.
+    # Counters the measured mode-collapse toward the all-empty grid at
+    # short training budgets (METRICS_r03.md run-v1 post-mortem; the
+    # reference's remedy is a 3000-epoch schedule).
+    lr_pos_weight: float = 1.0
     ema_rate: float = 0.999
     unet_type: Tuple[str, ...] = ("lr", "hr")
     df_type: Tuple[str, ...] = ("x0", "eps")

@@ -47,9 +47,11 @@ def sample_loop(
     ``solver``: ``"ancestral"`` reproduces the reference's update rules
     exactly; ``"dpmpp"`` runs DPM-Solver++(2M) (deterministic 2nd-order
     multistep on the probability-flow ODE, data-prediction form) over the
-    same uniform time grid — the TPU fast path: ~4x fewer denoiser calls
-    at matched sample quality (measured in METRICS_r03.md), and the
-    denoiser dominates sampling wall-time."""
+    same uniform time grid — the TPU fast path: ~4x fewer denoiser calls,
+    and the denoiser dominates sampling wall-time.  Quality evidence:
+    occupancy pre-flights show dpmpp at least as split-faithful as
+    ancestral on identical weights (METRICS_r03.md); scored-metric
+    comparison under the full eval contract is in METRICS_r04.md."""
     if solver == "dpmpp":
         return _sample_loop_dpmpp(
             denoise_fn, key, shape, batch_size, steps, log_snr_fn,
@@ -206,11 +208,18 @@ def diffusion_loss(
     log_snr_fn,
     df_type: str = "x0",
     mask=None,
+    elem_weight=None,
 ):
     """Continuous-time denoising MSE (`octfusion_model_union.py:242-269`).
 
     For dense states pass batch_id=None (leading axis is the batch).  For
-    graph states pass per-vertex batch ids and a validity mask."""
+    graph states pass per-vertex batch ids and a validity mask.
+
+    ``elem_weight``: optional per-element weights (broadcastable to
+    ``x0.shape``); the loss becomes sum(w*err)/sum(w) per element — used
+    by the lr stage's occupancy weighting (config ``lr_pos_weight``) to
+    counter the empty-class dominance of the split grid.  ``None`` (or
+    all-ones) reproduces the reference's unweighted mean exactly."""
     tkey, nkey = jax.random.split(key)
     times = jax.random.uniform(tkey, (batch_size,))
     noise = jax.random.normal(nkey, x0.shape, x0.dtype)
@@ -230,8 +239,15 @@ def diffusion_loss(
     out = denoise_fn(noised, snr)
     target = x0 if df_type == "x0" else noise
     err = (out - target) ** 2
+    if elem_weight is not None:
+        w = jnp.broadcast_to(
+            jnp.asarray(elem_weight, err.dtype), err.shape
+        )
+        err = err * w
+        norm = w
+    else:
+        norm = jnp.ones_like(err)
     if mask is not None:
         err = jnp.where(mask[:, None], err, 0.0)
-        denom = jnp.maximum(jnp.sum(mask) * x0.shape[-1], 1)
-        return jnp.sum(err) / denom
-    return jnp.mean(err)
+        norm = jnp.where(mask[:, None], norm, 0.0)
+    return jnp.sum(err) / jnp.maximum(jnp.sum(norm), 1e-8)

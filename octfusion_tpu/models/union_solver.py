@@ -171,11 +171,18 @@ class UnionSolver:
                     batch["points"], batch["normals"], self.spec1
                 )
                 split = split_codec.octree2split_small(octree)
+            pw = self.cfg.diffusion.lr_pos_weight
+            # occupancy-weighted x0-MSE: upweight the rare occupied (+1)
+            # split entries (~4-5% of the grid) to counter mode collapse
+            # toward all-empty at short training budgets (METRICS_r03.md
+            # run-v1 post-mortem); pw=1.0 is the reference-parity mean
+            elem_w = jnp.where(split > 0, pw, 1.0) if pw != 1.0 else None
             loss = sampler.diffusion_loss(
                 lambda noised, snr: self.df.apply(
                     params, "lr", noised, snr, label=label
                 ),
                 key, split, None, b, self.log_snr, self.df_type["lr"],
+                elem_weight=elem_w,
             )
             ld = {"loss": loss}
             if "split_small" not in batch:

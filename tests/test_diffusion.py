@@ -428,3 +428,53 @@ def test_dpmpp_eps_parameterisation():
     a = sampler.sample_loop(denoise_x0, key, df_type="x0", **kw)
     b = sampler.sample_loop(denoise_eps, key, df_type="eps", **kw)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_diffusion_loss_elem_weight():
+    """Occupancy-weighted x0-MSE (config ``lr_pos_weight``): weight=1
+    reproduces the reference's unweighted mean bit-for-bit; weight>1
+    matches the manual sum(w*err)/sum(w) with positives upweighted."""
+    key = jax.random.PRNGKey(11)
+    x0 = jnp.sign(jax.random.normal(key, (2, 4, 4, 4, 8)))  # ±1 split grid
+
+    def denoise(noised, snr):
+        return jnp.zeros_like(noised)  # err = x0**2 under df_type='x0'
+
+    base = sampler.diffusion_loss(
+        denoise, key, x0, None, 2, schedule.beta_linear_log_snr, "x0")
+    ones = sampler.diffusion_loss(
+        denoise, key, x0, None, 2, schedule.beta_linear_log_snr, "x0",
+        elem_weight=jnp.ones_like(x0))
+    np.testing.assert_allclose(float(base), float(ones), rtol=1e-6)
+
+    w = jnp.where(x0 > 0, 5.0, 1.0)
+    weighted = sampler.diffusion_loss(
+        denoise, key, x0, None, 2, schedule.beta_linear_log_snr, "x0",
+        elem_weight=w)
+    err = x0**2  # denoiser returns zeros
+    manual = float(jnp.sum(w * err) / jnp.sum(w))
+    np.testing.assert_allclose(float(weighted), manual, rtol=1e-6)
+    # err==1 everywhere for a ±1 grid, so the weighted mean is also 1
+    np.testing.assert_allclose(float(weighted), 1.0, rtol=1e-6)
+
+
+def test_diffusion_loss_elem_weight_masked():
+    """Weighted + masked: invalid rows contribute to neither numerator
+    nor normaliser."""
+    key = jax.random.PRNGKey(12)
+    n, c = 32, 3
+    x0 = jax.random.normal(key, (n, c))
+    mask = jnp.arange(n) < 20
+    bid = jnp.zeros((n,), jnp.int32)
+
+    def denoise(noised, snr):
+        return jnp.zeros_like(noised)
+
+    w = jnp.where(x0 > 0, 4.0, 1.0)
+    got = sampler.diffusion_loss(
+        denoise, key, x0, bid, 1, schedule.beta_linear_log_snr, "x0",
+        mask=mask, elem_weight=w)
+    err = jnp.where(mask[:, None], x0**2, 0.0)
+    wm = jnp.where(mask[:, None], w, 0.0)
+    manual = float(jnp.sum(wm * err) / jnp.sum(wm))
+    np.testing.assert_allclose(float(got), manual, rtol=1e-6)

@@ -47,6 +47,9 @@ def parse_args():
                         "DPM-Solver++(2M) fast path)")
     p.add_argument("--sample_steps", type=int, default=None,
                    help="override diffusion.ddim_steps for generation")
+    p.add_argument("--pos_weight", type=float, default=None,
+                   help="override diffusion.lr_pos_weight (occupancy-"
+                        "weighted lr split loss; 1.0 = reference parity)")
     p.add_argument("--profile", type=int, default=0,
                    help="capture a jax.profiler trace for N steps "
                         "(written to <run_dir>/profile)")
@@ -107,6 +110,11 @@ def main():
         cfg = dataclasses.replace(
             cfg, diffusion=dataclasses.replace(
                 cfg.diffusion, ddim_steps=args.sample_steps)
+        )
+    if args.pos_weight is not None:
+        cfg = dataclasses.replace(
+            cfg, diffusion=dataclasses.replace(
+                cfg.diffusion, lr_pos_weight=args.pos_weight)
         )
     run_dir = os.path.join(cfg.train.logs_dir, cfg.train.name)
     ckpt_dir = os.path.join(run_dir, "ckpt")
