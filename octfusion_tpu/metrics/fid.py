@@ -15,11 +15,44 @@ from typing import Callable, Optional
 import numpy as np
 
 
-def frechet_distance(mu1, sigma1, mu2, sigma2) -> float:
+def _sqrtm(a: np.ndarray) -> np.ndarray:
+    """scipy sqrtm across the ``disp`` deprecation (scipy >=1.16 returns
+    just the matrix; older versions return ``(matrix, errest)``)."""
+    import warnings
+
     from scipy import linalg
 
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # disp deprecation / LinAlgWarning
+        out = linalg.sqrtm(a, disp=False)
+    return out[0] if isinstance(out, tuple) else out
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """Frechet distance between two Gaussians (`calc_fid.py:29-46`).
+
+    When either covariance is rank-deficient (fewer samples than feature
+    dims — common at small eval sizes), ``sqrtm(sigma1 @ sigma2)`` is
+    numerically unstable (scipy emits LinAlgWarning / returns non-finite
+    values).  Like clean-fid, detect that case and retry with ``eps`` added
+    to the diagonals so the product is safely positive-definite."""
     diff = mu1 - mu2
-    covmean, _ = linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    # rank-deficiency pre-check: a covariance from n samples has rank
+    # <= n-1, so small sets ALWAYS need the eps offset — apply it up front
+    # rather than relying on sqrtm to fail loudly.
+    n_dim = sigma1.shape[0]
+    deficient = (
+        np.linalg.matrix_rank(sigma1, hermitian=True) < n_dim
+        or np.linalg.matrix_rank(sigma2, hermitian=True) < n_dim
+    )
+    if deficient:
+        offset = np.eye(n_dim) * eps
+        covmean = _sqrtm((sigma1 + offset) @ (sigma2 + offset))
+    else:
+        covmean = _sqrtm(sigma1 @ sigma2)
+        if not np.isfinite(covmean).all():
+            offset = np.eye(n_dim) * eps
+            covmean = _sqrtm((sigma1 + offset) @ (sigma2 + offset))
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(

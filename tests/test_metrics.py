@@ -74,6 +74,27 @@ def test_emd_bf16_store_matches_fp32():
     np.testing.assert_allclose(e16, e32, rtol=5e-3)
 
 
+def test_emd_bf16_store_matches_fp32_at_eval_scale():
+    """bf16 parity pinned at USE scale: 2048-point eval clouds (where
+    exp(level*d2) sharpness amplifies bf16 rounding of d2), plus the
+    near-duplicate-cloud regime (the M_ss diagonal path, d2 ~ 0 where
+    relative bf16 error of tiny distances is largest)."""
+    a, b = clouds(b=1, n=2048, m=2048, seed=11)
+    e32 = np.asarray(distances.emd_approx(jnp.asarray(a), jnp.asarray(b)))
+    e16 = np.asarray(distances.emd_approx(
+        jnp.asarray(a), jnp.asarray(b), store_dtype=jnp.bfloat16))
+    np.testing.assert_allclose(e16, e32, rtol=2.5e-3)
+
+    # near-duplicate clouds: jitter ~1e-3 of the cloud extent
+    rng = np.random.RandomState(13)
+    a2 = a + rng.normal(scale=1e-3, size=a.shape).astype(a.dtype)
+    d32 = np.asarray(distances.emd_approx(jnp.asarray(a), jnp.asarray(a2)))
+    d16 = np.asarray(distances.emd_approx(
+        jnp.asarray(a), jnp.asarray(a2), store_dtype=jnp.bfloat16))
+    # small absolute costs: compare with a matched absolute floor
+    np.testing.assert_allclose(d16, d32, rtol=2.5e-3, atol=1e-5)
+
+
 def test_emd_identical_clouds_near_zero():
     a, _ = clouds(b=1, n=40, m=40, seed=3)
     cost = float(distances.emd_approx(jnp.asarray(a), jnp.asarray(a))[0])

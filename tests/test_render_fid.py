@@ -58,6 +58,26 @@ def test_fid_math():
     assert np.isfinite(val)
 
 
+def test_fid_small_set_no_warning():
+    """Rank-deficient covariances (fewer samples than feature dims — the
+    round-3 eval sizes: 512-dim stand-in features over a few hundred
+    meshes) must route through the eps-regularised sqrtm with NO scipy
+    LinAlgWarning and still give a finite, ordered distance
+    (`/root/reference/metrics/calc_fid.py:29-46`; clean-fid's offset)."""
+    import warnings
+
+    rng = np.random.RandomState(3)
+    # 64 samples in 256 dims -> covariance rank <= 63 << 256
+    f1 = rng.normal(size=(64, 256))
+    f2 = rng.normal(size=(64, 256))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # ANY warning fails the test
+        same = fid.fid_from_features(f1, f1 + 1e-3 * rng.normal(size=f1.shape))
+        far = fid.fid_from_features(f1, f2 + 3.0)
+    assert np.isfinite(same) and np.isfinite(far)
+    assert far > same
+
+
 def test_voxel_cube_mesh():
     occ = np.zeros((8, 8, 8), np.float32)
     occ[3:5, 3:5, 3:5] = 1.0
