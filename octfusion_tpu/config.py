@@ -73,6 +73,9 @@ class DataConfig:
     shuffle: bool = True
     num_workers: int = 4
     in_memory: bool = False
+    # synthetic only: labels select distinct shape families (the stand-in
+    # for the reference's 5-class conditional workload, run_snet_cond.sh)
+    class_families: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -102,15 +102,25 @@ def _sd_torus(p, c, R, r):
 class SyntheticDataset:
     """Procedural shapes with exact SDFs: per index, a deterministic union
     of 1-3 primitives.  Surface points found by sphere-tracing random rays /
-    projecting near-surface samples along the SDF gradient."""
+    projecting near-surface samples along the SDF gradient.
+
+    With ``class_families=True`` the label (``idx % num_classes``) selects a
+    geometrically distinct shape family (sphere / box / torus / dumbbell /
+    cross), making the labels *meaningful* — the stand-in for the
+    reference's 5-category conditional ShapeNet workload
+    (`/root/reference/configs/octfusion_snet_cond.yaml:17-27`,
+    `scripts/run_snet_cond.sh`): class-conditional generation can then be
+    checked by nearest-reference-class purity."""
 
     def __init__(self, size: int = 1000, point_sample_num: int = 10000,
                  points_per_shape: int = 65536, num_classes: int = 5,
-                 load_color: bool = False, cache: bool = True):
+                 load_color: bool = False, cache: bool = True,
+                 class_families: bool = False):
         self.size = size
         self.point_sample_num = point_sample_num
         self.points_per_shape = points_per_shape
         self.num_classes = num_classes
+        self.class_families = class_families
         self.load_color = load_color
         # items are deterministic functions of idx, and the Newton-projection
         # surface sampling costs ~0.5 s/item on one core — cache epochs 2+
@@ -137,6 +147,40 @@ class SyntheticDataset:
                 R = rng.uniform(0.2, 0.4)
                 r = rng.uniform(0.05, 0.15)
                 prims.append(lambda p, c=c, R=R, r=r: _sd_torus(p, c, R, r))
+
+        def sdf(p):
+            return np.minimum.reduce([f(p) for f in prims])
+
+        return sdf
+
+    def _make_family_sdf(self, rng, family: int):
+        """One of 5 tightly-clustered families (see class docstring); shape
+        parameters jitter within a family but classes stay separable under
+        Chamfer distance (asserted by tests/test_conditional.py)."""
+        c = rng.uniform(-0.08, 0.08, size=3)
+        if family == 0:      # sphere
+            r = rng.uniform(0.35, 0.5)
+            prims = [lambda p: _sd_sphere(p, c, r)]
+        elif family == 1:    # box
+            b = rng.uniform(0.28, 0.42, size=3)
+            prims = [lambda p: _sd_box(p, c, b)]
+        elif family == 2:    # torus (in the xy-plane)
+            R, r = rng.uniform(0.35, 0.45), rng.uniform(0.1, 0.16)
+            prims = [lambda p: _sd_torus(p, c, R, r)]
+        elif family == 3:    # dumbbell: two spheres split along x
+            dx = rng.uniform(0.38, 0.5)
+            r = rng.uniform(0.18, 0.26)
+            prims = [
+                lambda p: _sd_sphere(p, c + np.array([dx, 0, 0]), r),
+                lambda p: _sd_sphere(p, c - np.array([dx, 0, 0]), r),
+            ]
+        else:                # cross: two elongated boxes
+            l = rng.uniform(0.5, 0.62)
+            w = rng.uniform(0.1, 0.16)
+            prims = [
+                lambda p: _sd_box(p, c, np.array([l, w, w])),
+                lambda p: _sd_box(p, c, np.array([w, l, w])),
+            ]
 
         def sdf(p):
             return np.minimum.reduce([f(p) for f in prims])
@@ -179,7 +223,9 @@ class SyntheticDataset:
         if self._cache is not None and idx in self._cache:
             return self._cache[idx]
         rng = np.random.RandomState(idx * 9176 + 13)
-        sdf = self._make_sdf(rng)
+        label = idx % self.num_classes
+        sdf = (self._make_family_sdf(rng, label) if self.class_families
+               else self._make_sdf(rng))
         surf = self._surface_points(sdf, rng, self.points_per_shape)
         normals = self._gradient(sdf, surf)
         # SDF supervision: near-surface + uniform volume samples
@@ -192,7 +238,7 @@ class SyntheticDataset:
         pos = np.clip(pos, -1, 1)
         out = {
             "filename": f"synthetic/{idx}",
-            "label": idx % self.num_classes,
+            "label": label,
             "points": np.clip(surf, -1, 1).astype(np.float32),
             "normals": normals.astype(np.float32),
             "pos": pos,
@@ -433,6 +479,7 @@ def get_dataset(cfg) -> object:
             point_sample_num=cfg.point_sample_num,
             points_per_shape=cfg.points_per_shape,
             load_color=cfg.load_color,
+            class_families=cfg.class_families,
         )
     if cfg.name == "shapenet":
         return ShapeNetDataset(

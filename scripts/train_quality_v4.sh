@@ -1,0 +1,118 @@
+#!/usr/bin/env bash
+# Round-4 quality protocol (VERDICT r3 items #1-#3).
+#
+# Differences from v3 (scripts/train_quality_v3.sh):
+#   * lr stage trains with the occupancy-weighted split loss
+#     (--pos_weight, default 2 — tuned by scripts/probe_pos_weight.sh:
+#     w=1 -> gt-ratio 0.31, w=3 -> 1.83 at 4k steps, log-linear
+#     interpolation targets ~1.0 near w=2; results/probe_pos_weight.txt).
+#   * THREE scored sample sets: ancestral-100 (reference protocol,
+#     /root/reference/models/octfusion_model_union.py:300-352), dpmpp-50
+#     (the fast path needing quality validation), dpmpp-25 (pushing the
+#     step count down, VERDICT r3 #3).
+#   * Every artifact the judge needs lands in git-tracked results/:
+#     metric JSONs (with eval wall_s), occupancy pre-flights, and a
+#     sample-set manifest (seeds, checkpoint steps, obj-file hashes).
+#     logs/ has been wiped three times; results/ is where evidence lives.
+#
+# Idempotent: train.py auto-resumes from ckpt/steps-latest; generation
+# and eval stages are skipped when their outputs already exist.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+LOGS=${LOGS:-logs}
+CFG=${CFG:-configs/synthetic_medium_v2.yaml}
+VAE_STEPS=${VAE_STEPS:-6000}
+LR_STEPS=${LR_STEPS:-30000}
+HR_STEPS=${HR_STEPS:-7000}
+COUNT=${COUNT:-512}
+POS_WEIGHT=${POS_WEIGHT:-2}
+RES=results
+mkdir -p "$LOGS" "$RES"
+
+stage_done () {  # stage_done <rundir> <steps>: ckpt at/after target step?
+    python - "$1" "$2" <<'EOF'
+import sys, re, pathlib
+run, target = pathlib.Path(sys.argv[1]), int(sys.argv[2])
+steps = [int(m.group(1)) for p in run.glob("ckpt/steps-*")
+         if (m := re.match(r"steps-(\d+)$", p.name))]
+sys.exit(0 if steps and max(steps) >= target else 1)
+EOF
+}
+
+stage_done $LOGS/q4_vae $VAE_STEPS || \
+python train.py --model vae --mode train --config $CFG \
+    --name q4_vae --logs_dir $LOGS --max_steps $VAE_STEPS
+
+stage_done $LOGS/q4_lr $LR_STEPS || \
+python train.py --model union --stage lr --mode train --config $CFG \
+    --name q4_lr --logs_dir $LOGS --max_steps $LR_STEPS \
+    --pos_weight $POS_WEIGHT
+
+# lr occupancy pre-flight -> durable results/ (VERDICT r3 missing #2)
+if [ ! -f "$RES/preflight_q4_lr.txt" ]; then
+    { echo "# q4 lr pre-flight: pos_weight=$POS_WEIGHT, step $LR_STEPS, $(date -u +%FT%TZ)"
+      python tools/lr_occupancy.py --config $CFG --run $LOGS/q4_lr \
+          --count 24 --gt_count 48 --samplers ancestral,dpmpp
+    } | tee "$RES/preflight_q4_lr.txt"
+fi
+
+stage_done $LOGS/q4_hr $HR_STEPS || \
+python train.py --model union --stage hr --mode train --config $CFG \
+    --name q4_hr --logs_dir $LOGS --max_steps $HR_STEPS \
+    --vq_ckpt $LOGS/q4_vae/ckpt/steps-latest \
+    --pretrain_ckpt $LOGS/q4_lr/ckpt/steps-latest
+
+gen () {  # gen <tag> <extra generation args...>
+    local TAG=$1; shift
+    [ -d "$LOGS/q4_hr/results_airplane_$TAG" ] && return 0
+    rm -rf "$LOGS/q4_hr/results_airplane"
+    python train.py --model union --stage hr --mode generate --config $CFG \
+        --name q4_hr --logs_dir $LOGS --count $COUNT \
+        --vq_ckpt $LOGS/q4_vae/ckpt/steps-latest "$@"
+    mv "$LOGS/q4_hr/results_airplane" "$LOGS/q4_hr/results_airplane_$TAG"
+}
+gen ancestral100
+gen dpmpp50 --sampler dpmpp --sample_steps 50
+gen dpmpp25 --sampler dpmpp --sample_steps 25
+
+[ -d "$LOGS/ref_synthetic" ] || python tools/make_reference_set.py \
+    --out $LOGS/ref_synthetic --start 10000 --count $COUNT --resolution 128
+
+# sample-set manifest: seeds, checkpoint steps, obj hashes (durable)
+python - "$LOGS" "$POS_WEIGHT" <<'EOF'
+import hashlib, json, pathlib, re, sys
+logs, pw = pathlib.Path(sys.argv[1]), float(sys.argv[2])
+def ckstep(run):
+    s = [int(m.group(1)) for p in (logs / run).glob("ckpt/steps-*")
+         if (m := re.match(r"steps-(\d+)$", p.name))]
+    return max(s) if s else None
+def dig(d):
+    objs = sorted(pathlib.Path(d).glob("*.obj"))
+    h = hashlib.sha256()
+    for p in objs:
+        h.update(p.name.encode())
+        h.update(hashlib.sha256(p.read_bytes()).digest())
+    return {"count": len(objs), "sha256": h.hexdigest()}
+man = {
+    "config": "configs/synthetic_medium_v2.yaml",
+    "seed": 42, "pos_weight": pw,
+    "ckpt_steps": {r: ckstep(f"q4_{r}") for r in ("vae", "lr", "hr")},
+    "sets": {t: dig(logs / f"q4_hr/results_airplane_{t}")
+             for t in ("ancestral100", "dpmpp50", "dpmpp25")},
+    "reference": dig(logs / "ref_synthetic"),
+}
+out = pathlib.Path("results/MANIFEST_q4.json")
+out.write_text(json.dumps(man, indent=2) + "\n")
+print("[manifest]", out)
+EOF
+
+for SET in ancestral100 dpmpp50 dpmpp25; do
+    [ -f "$RES/metrics_q4_$SET.json" ] && continue
+    echo "[eval] $SET"
+    python tools/evaluate.py \
+        --samples "$LOGS/q4_hr/results_airplane_$SET/*.obj" \
+        --reference "$LOGS/ref_synthetic/*.obj" \
+        --emd --emd_bf16 --fid_standin --batch 16 \
+        --out $RES/metrics_q4_$SET.json
+done
+echo "[done] metrics in $RES/metrics_q4_{ancestral100,dpmpp50,dpmpp25}.json"
