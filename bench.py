@@ -218,7 +218,72 @@ def main():
             sys.stderr.write(f"  [submit dispatch] {time.time() - t0:.3f}s\n")
         return h
 
-    # warm-up compiles every stage
+    # fast-path solver built up front so its programs join the parallel warm
+    use_fast = os.environ.get("BENCH_FAST", "1") != "0"
+    fast_steps = int(os.environ.get("BENCH_FAST_STEPS", "50"))
+    solver_fast = None
+    if use_fast:
+        import dataclasses
+
+        cfg_fast = dataclasses.replace(
+            cfg, diffusion=dataclasses.replace(cfg.diffusion, sampler="dpmpp")
+        )
+        solver_fast = UnionSolver(cfg_fast, stage_flag="hr")
+
+    # Parallel AOT warm (BENCH_PARALLEL_WARM=0 restores the serial cold
+    # path): the ~7 distinct cascade programs compile at 50-300 s each
+    # through the tunnel and the chain's shapes are static, so eval_shape
+    # derives every stage's input specs host-side and all programs
+    # lower+compile concurrently — cold setup drops from the sum of compile
+    # times toward the max (the bulk of round-3's 957 s cold setup).
+    if os.environ.get("BENCH_PARALLEL_WARM", "1") != "0":
+        from concurrent.futures import ThreadPoolExecutor
+
+        from octfusion_tpu.utils.sdf import _sdf_compact_device
+
+        fd = m.full_depth
+        s8 = 2**fd
+        split_spec = jax.ShapeDtypeStruct(
+            (bench_batch, s8, s8, s8, 8), jnp.float32)
+        _, g_spec = jax.eval_shape(solver._grow_fn(bench_batch), split_spec)
+        lvl = g_spec.level(m.depth_stop)
+        code_spec = jax.ShapeDtypeStruct((lvl.g_cap, m.embed_dim),
+                                         jnp.float32)
+        dec_spec = jax.eval_shape(
+            solver._decode_fn(), vae_state.params, code_spec, g_spec)
+        oct_spec = dec_spec["octree_out"]
+        reg_spec = jax.eval_shape(analytic_reg, oct_spec)
+        cell_cap = 8 * resolution * resolution
+
+        def warm_extract():
+            _sdf_compact_device.lower(
+                reg_spec, oct_spec, m.full_depth, m.depth_out, resolution,
+                jnp.float32(-cfg.solver.sdf_scale),
+                jnp.float32(cfg.solver.sdf_scale), cell_cap, 0.0,
+            ).compile()
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            futs = solver.warm_compile(
+                state.ema_params, vae_state.params, batch_size=bench_batch,
+                steps=steps, executor=ex,
+            )
+            if solver_fast is not None:
+                # grow/decode are sampler-independent: already covered above
+                futs += solver_fast.warm_compile(
+                    state.ema_params, vae_state.params,
+                    batch_size=bench_batch, steps=fast_steps, executor=ex,
+                    stages=("lr", "hr"),
+                )
+            futs.append(ex.submit(warm_extract))
+            futs.append(
+                ex.submit(lambda: analytic_reg_jit.lower(oct_spec).compile())
+            )
+            for f in futs:
+                f.result()
+        phase("warmup_parallel")
+
+    # warm-up run (cache hits after a parallel warm; compiles serially
+    # otherwise)
     h0 = submit(0)
     phase("warmup_submit")     # traces+compiles lr/grow/hr/decode/extract
     nv, nf = finish(h0)
@@ -243,16 +308,8 @@ def main():
     # BENCH_FAST=0.
     dt_fast = None
     t_fast_total = 0.0
-    if os.environ.get("BENCH_FAST", "1") != "0":
-        import dataclasses
-
+    if solver_fast is not None:
         t_fast0 = time.time()
-        fast_steps = int(os.environ.get("BENCH_FAST_STEPS", "50"))
-        cfg_fast = dataclasses.replace(
-            cfg, diffusion=dataclasses.replace(
-                cfg.diffusion, sampler="dpmpp")
-        )
-        solver_fast = UnionSolver(cfg_fast, stage_flag="hr")
         finish(submit(0, use_solver=solver_fast, use_steps=fast_steps))
         phase("warmup_fast")
         t0 = time.time()

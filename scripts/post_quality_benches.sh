@@ -32,12 +32,10 @@ run_bench () {  # run_bench <logname> <cmd...>
     fi
 }
 
-run_bench bench_eval_scale.txt python benchmarks/bench_eval_scale.py 2048 5
-run_bench bench_preview.txt python bench.py
-run_bench bench_batch4.txt \
-    env BENCH_BATCH=4 BENCH_FAST=0 BENCH_ITERS=3 python bench.py
 run_bench bench_train_steps.txt python benchmarks/bench_train_steps.py 131072 2
 run_bench bench_hr_train.txt python benchmarks/bench_hr_train.py 131072
+run_bench bench_eval_scale.txt python benchmarks/bench_eval_scale.py 2048 5
+run_bench bench_preview.txt python bench.py
 
 echo "[post-benches done] failed=$FAILED (see $STATUS)"
 exit $FAILED

@@ -150,3 +150,34 @@ def test_union_cascade_batched(batch, tmp_path):
     assert out["split_small"].shape[0] == 2
     # batch elements must consume distinct noise streams
     assert float(jnp.abs(out["sdfs"][0] - out["sdfs"][1]).max()) > 0
+
+
+def test_warm_compile_matches_sample(batch, tmp_path):
+    """warm_compile must pre-build exactly the programs sample() uses (same
+    _jit entries, shapes from eval_shape) so a subsequent sample() is
+    warm — and must not change its results."""
+    cfg = tiny_config()
+    vae_solver = VAESolver(cfg)
+    key = jax.random.PRNGKey(5)
+    vae_state = vae_solver.init_state(key, batch, total_steps=10)
+    solver = UnionSolver(cfg, stage_flag="hr")
+    state = solver.init_state(key, batch)
+
+    solver.warm_compile(state.ema_params, vae_state.params, batch_size=1,
+                        steps=4)
+    cached = set(solver._jit_cache)
+    assert {"sample_lr", "grow_1", "sample_hr", "decode"} <= cached
+
+    out = solver.sample(state.ema_params, vae_state.params, key,
+                        batch_size=1, steps=4, compute_sdf=False)
+    # sample() must not have had to create any new stage jits
+    assert set(solver._jit_cache) == cached
+    assert np.isfinite(np.asarray(out["code"])).all()
+
+    fresh = UnionSolver(cfg, stage_flag="hr")
+    ref = fresh.sample(state.ema_params, vae_state.params, key,
+                       batch_size=1, steps=4, compute_sdf=False)
+    np.testing.assert_array_equal(
+        np.asarray(out["split_small"]), np.asarray(ref["split_small"]))
+    np.testing.assert_allclose(
+        np.asarray(out["code"]), np.asarray(ref["code"]), atol=0, rtol=0)

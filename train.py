@@ -305,6 +305,7 @@ def main():
                     verts = verts * cfg.data_test.point_scale
                     mesh_lib.save_obj(path, verts, faces)
                     print(f"[*] wrote {path}")
+            _maybe_log_mem(jax)
             return
         if args.model == "vae":
             for i in my_idx:
@@ -314,6 +315,7 @@ def main():
                 solver.reconstruct(state.params, b, k, save_paths=[path],
                                    fast_mesh=True)
                 print(f"[*] wrote {path}")
+            _maybe_log_mem(jax)
             return
         # pipelined generation: shape i's host marching + D2H overlap
         # shape i+1's device cascade (all submits are async dispatches)
@@ -359,6 +361,7 @@ def main():
             pending = nxt
         if pending is not None:
             finish_gen(*pending)
+        _maybe_log_mem(jax)
         return
 
     # ------------------------------------------------------------------
@@ -440,6 +443,27 @@ def main():
         ckpt_lib.save(ckpt_dir, state, total_steps, cfg.train.ckpt_num)
     dl.stop()
     vis.close()
+    _maybe_log_mem(jax)
+
+
+def _maybe_log_mem(jax):
+    """OCTFUSION_LOG_MEM=1: print the device's peak HBM use — the memory
+    evidence for the depth-9/10 capacity-math claims (configs/
+    vae_snet_depth984.yaml).  Not every backend exposes memory_stats
+    (CPU does not); best-effort."""
+    if os.environ.get("OCTFUSION_LOG_MEM", "0") != "1":
+        return
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use")
+        lim = stats.get("bytes_limit")
+        if peak is not None:
+            print(f"[mem] peak_bytes_in_use {peak / 2**30:.2f} GiB"
+                  + (f" / limit {lim / 2**30:.2f} GiB" if lim else ""))
+        else:
+            print(f"[mem] memory_stats keys: {sorted(stats)}")
+    except Exception as e:
+        print(f"[mem] unavailable: {e}")
 
 
 def collated_one(dataset, i, jnp):
