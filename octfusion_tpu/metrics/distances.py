@@ -101,6 +101,7 @@ def pairwise_cd_emd(
     emd: bool = True,
     row_block: int = 4,
     emd_store_dtype=jnp.float32,
+    shard_devices=None,
 ):
     """All-pairs Chamfer (+EMD) matrices between two point-cloud sets
     (`metrics/evaluation_metrics.py:111-154`): sample [S,P,3], ref [R,P,3]
@@ -113,8 +114,28 @@ def pairwise_cd_emd(
     latency through the tunnelled device otherwise dominates.  Peak
     device memory is ~3 matrices of [row_block*batch, P, P] floats (EMD
     holds d2 + weights + match), so keep row_block*batch <= ~64 at
-    P = 2048 on a 16 GB chip."""
+    P = 2048 on a 16 GB chip.
+
+    ``shard_devices``: a list of JAX devices (or ``"auto"`` for all local
+    devices) to SHARD the pair grid over — the distance matrix is
+    embarrassingly parallel, so each tile's row block is split across a
+    1-D ``jax.sharding.Mesh`` (rows sharded, columns replicated) and the
+    per-pair programs run with zero collectives; wall time divides by the
+    device count (the reference's eval is single-GPU,
+    `evaluation_metrics.py:111-154`).  Every device computes
+    ``row_block`` rows of each tile, so the effective tile is
+    ``[n_dev*row_block, batch]`` pairs and per-device memory matches the
+    single-device bound above."""
     import numpy as np
+
+    if shard_devices == "auto":
+        shard_devices = jax.local_devices()
+        if len(shard_devices) == 1:
+            shard_devices = None
+    if shard_devices is not None:
+        return _pairwise_cd_emd_sharded(
+            sample, ref, list(shard_devices), batch, emd, row_block,
+            emd_store_dtype)
 
     s = sample.shape[0]
     r = ref.shape[0]
@@ -148,6 +169,59 @@ def pairwise_cd_emd(
         for j0 in range(0, r, batch):
             j1 = min(j0 + batch, r)
             cols = pad_to(ref[j0:j1], batch)
+            cdv, emv = tile(rows, cols)
+            cd[i0:i1, j0:j1] = np.asarray(cdv)[: i1 - i0, : j1 - j0]
+            em[i0:i1, j0:j1] = np.asarray(emv)[: i1 - i0, : j1 - j0]
+    return cd, em
+
+
+def _pairwise_cd_emd_sharded(sample, ref, devices, batch, emd, row_block,
+                             emd_store_dtype):
+    """Device-sharded tile loop of :func:`pairwise_cd_emd`.
+
+    The [n_dev*row_block, batch] tile keeps rows on a 1-D mesh axis and
+    replicates the column block; the nested vmap (rows outer, columns
+    inner) leaves the row axis as the partitioned dimension, so XLA splits
+    the tile into n_dev independent per-device programs — no collectives,
+    linear scaling.  Per-pair numerics are identical to the single-device
+    path (same chamfer/emd_approx programs under the vmaps)."""
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    n_dev = len(devices)
+    mesh = Mesh(np.asarray(devices), ("eval",))
+    row_sh = NamedSharding(mesh, P("eval"))
+    rep_sh = NamedSharding(mesh, P())
+    rb = n_dev * row_block
+
+    @partial(jax.jit, out_shardings=(row_sh, row_sh))
+    def tile(ss, rr):
+        def one_row(s1):
+            a = jnp.broadcast_to(s1[None], (rr.shape[0],) + s1.shape)
+            dl, dr = chamfer(a, rr)
+            cdv = dl.mean(-1) + dr.mean(-1)
+            emv = (emd_approx(a, rr, store_dtype=emd_store_dtype).astype(
+                jnp.float32) if emd else jnp.zeros((rr.shape[0],)))
+            return cdv, emv
+
+        return jax.vmap(one_row)(ss)
+
+    s, r = sample.shape[0], ref.shape[0]
+    cd = np.zeros((s, r), np.float32)
+    em = np.zeros((s, r), np.float32)
+
+    def pad_to(x, n):
+        if x.shape[0] == n:
+            return x
+        reps = jnp.broadcast_to(x[-1:], (n - x.shape[0],) + x.shape[1:])
+        return jnp.concatenate([x, reps], 0)
+
+    for i0 in range(0, s, rb):
+        i1 = min(i0 + rb, s)
+        rows = jax.device_put(pad_to(sample[i0:i1], rb), row_sh)
+        for j0 in range(0, r, batch):
+            j1 = min(j0 + batch, r)
+            cols = jax.device_put(pad_to(ref[j0:j1], batch), rep_sh)
             cdv, emv = tile(rows, cols)
             cd[i0:i1, j0:j1] = np.asarray(cdv)[: i1 - i0, : j1 - j0]
             em[i0:i1, j0:j1] = np.asarray(emv)[: i1 - i0, : j1 - j0]

@@ -43,7 +43,8 @@ def compute_1_nna(
 
 def evaluate_point_sets(sample_pts, ref_pts, batch: int = 16,
                         emd: bool = True,
-                        emd_bf16: bool = False) -> Dict[str, float]:
+                        emd_bf16: bool = False,
+                        shard_devices=None) -> Dict[str, float]:
     """Full eval: sample/ref [S/R, P, 3] -> 1-NNA + COV/MMD for CD and EMD
     (the `metrics/1-NNA.py` + `metrics/cov_mmd.py` drivers).
 
@@ -52,7 +53,12 @@ def evaluate_point_sets(sample_pts, ref_pts, batch: int = 16,
     ``distances.emd_approx``); the default stays fp32, the closest parity
     with the reference's fp32 auction (the level schedule differs slightly
     from `approxmatch.cu`: 9 rounds -4^8..-4^0 here vs j=7..-1 there, so
-    fp32 is approximate, not bitwise, parity)."""
+    fp32 is approximate, not bitwise, parity).
+
+    ``shard_devices``: devices (or ``"auto"``) to shard the pairwise tile
+    grid over — see ``distances.pairwise_cd_emd``; the eval wall divides
+    by the device count with no collectives (multi-chip counterpart of
+    the reference's single-GPU eval loop)."""
     import jax.numpy as jnp
 
     from .distances import pairwise_cd_emd
@@ -60,9 +66,10 @@ def evaluate_point_sets(sample_pts, ref_pts, batch: int = 16,
     store = jnp.bfloat16 if emd_bf16 else jnp.float32
     sp = jnp.asarray(sample_pts)
     rp = jnp.asarray(ref_pts)
-    cd_sr, emd_sr = pairwise_cd_emd(sp, rp, batch, emd, emd_store_dtype=store)
-    cd_ss, emd_ss = pairwise_cd_emd(sp, sp, batch, emd, emd_store_dtype=store)
-    cd_rr, emd_rr = pairwise_cd_emd(rp, rp, batch, emd, emd_store_dtype=store)
+    kw = dict(emd_store_dtype=store, shard_devices=shard_devices)
+    cd_sr, emd_sr = pairwise_cd_emd(sp, rp, batch, emd, **kw)
+    cd_ss, emd_ss = pairwise_cd_emd(sp, sp, batch, emd, **kw)
+    cd_rr, emd_rr = pairwise_cd_emd(rp, rp, batch, emd, **kw)
     out = {}
     out["1nna_cd"] = compute_1_nna(cd_ss, cd_rr, cd_sr)
     cm = compute_cov_mmd(cd_sr)

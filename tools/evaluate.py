@@ -51,6 +51,10 @@ def main():
                    help="store the EMD auction matrices in bfloat16 "
                         "(~2x faster at eval scale, <0.25%% off fp32)")
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--shard", action="store_true",
+                   help="shard the pairwise tile grid across ALL local "
+                        "devices (rows on a 1-D mesh, no collectives; "
+                        "eval wall divides by the device count)")
     p.add_argument("--fid", action="store_true",
                    help="also compute per-view shading FID on mesh renders "
                         "(needs OCTFUSION_INCEPTION_WEIGHTS)")
@@ -75,9 +79,9 @@ def main():
     print(f"[*] {len(sp)} samples vs {len(rp)} references "
           f"({args.points} pts each, surface sampling {t_sample:.1f}s)")
     t1 = time.time()
-    res = evaluation.evaluate_point_sets(sp, rp, batch=args.batch,
-                                         emd=args.emd,
-                                         emd_bf16=args.emd_bf16)
+    res = evaluation.evaluate_point_sets(
+        sp, rp, batch=args.batch, emd=args.emd, emd_bf16=args.emd_bf16,
+        shard_devices="auto" if args.shard else None)
     res["wall_s_pointcloud_sampling"] = round(t_sample, 1)
     res["wall_s_pairwise_metrics"] = round(time.time() - t1, 1)
     t1 = time.time()
