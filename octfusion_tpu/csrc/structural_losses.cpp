@@ -92,8 +92,10 @@ void approx_match_cost(const float* xyz1, const float* xyz2, float* match,
     std::vector<float> remain_r(n, (float)m / n);
     std::vector<float> remain_c(m, 1.0f);
     std::vector<float> w((size_t)n * m);
+    // level schedule matches approxmatch.cu:24-28 exactly: j = 7..-1,
+    // level = -4^j (the reference's j==-2 branch is dead code)
     for (int r = rounds - 1; r >= 0; --r) {
-      const float level = r == 0 ? -1.0f : -powf(4.0f, (float)r);
+      const float level = -powf(4.0f, (float)(r - 1));
       for (int i = 0; i < n; ++i)
         for (int j = 0; j < m; ++j)
           w[(size_t)i * m + j] =

@@ -44,9 +44,11 @@ def emd_approx(a: jnp.ndarray, b: jnp.ndarray, rounds: int = 9,
     """Auction-style approximate EMD matching cost, batched.
 
     a [B,N,3], b [B,M,3] -> [B] mean matched distance.  Mirrors the CUDA
-    ``approxmatch`` loop: for j = rounds-1..0, level = -4^j (final level
-    -1), weights = exp(level * d^2) scaled by remaining row/col mass,
-    normalised twice, accumulated into a soft match.
+    ``approxmatch`` loop with the EXACT reference level schedule
+    (`approxmatch.cu:24-28`): j = 7..-1, level = -4^j (final level
+    -0.25; the reference's j==-2/level=0 branch is dead code), weights =
+    exp(level * d^2) scaled by remaining row/col mass, normalised twice,
+    accumulated into a soft match.
 
     ``store_dtype`` controls the element type of the two [N, M] matrices
     that live across rounds (d^2 and the accumulated match).  The auction
@@ -80,7 +82,7 @@ def emd_approx(a: jnp.ndarray, b: jnp.ndarray, rounds: int = 9,
             return (match, remain_r, remain_c), None
 
         levels = jnp.array(
-            [-(4.0**j) for j in range(rounds - 1, 0, -1)] + [-1.0],
+            [-(4.0**j) for j in range(rounds - 2, -2, -1)],
             jnp.float32,
         )
         (match, _, _), _ = jax.lax.scan(

@@ -50,10 +50,9 @@ def evaluate_point_sets(sample_pts, ref_pts, batch: int = 16,
 
     ``emd_bf16`` stores the EMD auction's cross-round matrices in bfloat16
     (~2x on the HBM-bound auction; <0.25% off the fp32 costs — see
-    ``distances.emd_approx``); the default stays fp32, the closest parity
-    with the reference's fp32 auction (the level schedule differs slightly
-    from `approxmatch.cu`: 9 rounds -4^8..-4^0 here vs j=7..-1 there, so
-    fp32 is approximate, not bitwise, parity).
+    ``distances.emd_approx``); the default stays fp32, matching the
+    reference's fp32 auction (same 9-round j=7..-1 level schedule as
+    `approxmatch.cu:24-28` — parity up to reduction order, not bitwise).
 
     ``shard_devices``: devices (or ``"auto"``) to shard the pairwise tile
     grid over — see ``distances.pairwise_cd_emd``; the eval wall divides
