@@ -71,14 +71,29 @@ gen () {  # gen <tag> <extra generation args...>
         --vq_ckpt $LOGS/q4_vae/ckpt/steps-latest "$@"
     mv "$LOGS/q4_hr/results_airplane" "$LOGS/q4_hr/results_airplane_$TAG"
 }
-gen ancestral100
-gen dpmpp50 --sampler dpmpp --sample_steps 50
-gen dpmpp25 --sampler dpmpp --sample_steps 25
 
 [ -d "$LOGS/ref_synthetic" ] || python tools/make_reference_set.py \
     --out $LOGS/ref_synthetic --start 10000 --count $COUNT --resolution 128
 
-# sample-set manifest: seeds, checkpoint steps, obj hashes (durable)
+evalset () {  # evalset <tag>: score one sample set against the reference
+    [ -f "$RES/metrics_q4_$1.json" ] && return 0
+    echo "[eval] $1"
+    python tools/evaluate.py \
+        --samples "$LOGS/q4_hr/results_airplane_$1/*.obj" \
+        --reference "$LOGS/ref_synthetic/*.obj" \
+        --emd --emd_bf16 --fid_standin --batch 16 \
+        --out $RES/metrics_q4_$1.json
+}
+
+# gen+eval interleaved PER SET, priority order (headline ancestral first,
+# fast-path validation second, step-count probe last) so a wall-clock cut
+# loses the least important column, not all of them
+gen ancestral100;                             evalset ancestral100
+gen dpmpp50 --sampler dpmpp --sample_steps 50; evalset dpmpp50
+gen dpmpp25 --sampler dpmpp --sample_steps 25; evalset dpmpp25
+
+# sample-set manifest: seeds, checkpoint steps, obj hashes (durable;
+# tolerates missing sets so a wall-clock cut still records what exists)
 python - "$LOGS" "$POS_WEIGHT" <<'EOF'
 import hashlib, json, pathlib, re, sys
 logs, pw = pathlib.Path(sys.argv[1]), float(sys.argv[2])
@@ -98,21 +113,12 @@ man = {
     "seed": 42, "pos_weight": pw,
     "ckpt_steps": {r: ckstep(f"q4_{r}") for r in ("vae", "lr", "hr")},
     "sets": {t: dig(logs / f"q4_hr/results_airplane_{t}")
-             for t in ("ancestral100", "dpmpp50", "dpmpp25")},
+             for t in ("ancestral100", "dpmpp50", "dpmpp25")
+             if (logs / f"q4_hr/results_airplane_{t}").is_dir()},
     "reference": dig(logs / "ref_synthetic"),
 }
 out = pathlib.Path("results/MANIFEST_q4.json")
 out.write_text(json.dumps(man, indent=2) + "\n")
 print("[manifest]", out)
 EOF
-
-for SET in ancestral100 dpmpp50 dpmpp25; do
-    [ -f "$RES/metrics_q4_$SET.json" ] && continue
-    echo "[eval] $SET"
-    python tools/evaluate.py \
-        --samples "$LOGS/q4_hr/results_airplane_$SET/*.obj" \
-        --reference "$LOGS/ref_synthetic/*.obj" \
-        --emd --emd_bf16 --fid_standin --batch 16 \
-        --out $RES/metrics_q4_$SET.json
-done
 echo "[done] metrics in $RES/metrics_q4_{ancestral100,dpmpp50,dpmpp25}.json"
