@@ -26,6 +26,13 @@ def save(ckpt_dir: str, tree: Any, step: int, ckpt_num: int = 5,
     ckptr = _checkpointer()
     if os.path.exists(path):
         shutil.rmtree(path)
+    # A crash mid-save (SIGKILL between orbax's tmp write and its atomic
+    # rename — observed when the stall watchdog fired during a q4_hr save)
+    # leaves `steps-<N>.orbax-checkpoint-tmp*` behind; orbax then fails the
+    # NEXT save at the same step with FileExistsError on the rename.  This
+    # process is the run dir's single writer, so stale tmps are safe to
+    # clear here.
+    _clear_stale_tmp(ckpt_dir, step)
     ckptr.save(path, tree)
     ckptr.wait_until_finished()
     if latest:
@@ -40,9 +47,20 @@ def save(ckpt_dir: str, tree: Any, step: int, ckpt_num: int = 5,
     return path
 
 
+def _clear_stale_tmp(ckpt_dir: str, step: Optional[int] = None):
+    """Remove orbax tmp dirs left by a killed save — for ``step`` only, or
+    all of them (rotation).  Final ``steps-<N>`` dirs are never touched."""
+    prefix = "steps-" if step is None else f"steps-{step}."
+    for name in os.listdir(ckpt_dir):
+        if name.startswith(prefix) and ".orbax-checkpoint-tmp" in name:
+            shutil.rmtree(os.path.join(ckpt_dir, name), ignore_errors=True)
+
+
 def rotate(ckpt_dir: str, ckpt_num: int):
     """Keep only the newest ``ckpt_num`` step checkpoints
-    (`octfusion_model_union.py:516-521`)."""
+    (`octfusion_model_union.py:516-521`); also sweeps any stale orbax tmp
+    dirs so one crashed save cannot poison the run dir forever."""
+    _clear_stale_tmp(ckpt_dir)
     entries = []
     for name in os.listdir(ckpt_dir):
         m = re.fullmatch(r"steps-(\d+)", name)

@@ -54,3 +54,32 @@ def test_templateless_restore_is_host_numpy(tmp_path):
         type(x) for x in leaves
     ]
     np.testing.assert_allclose(out["params"]["w"], 5.0)
+
+
+def test_save_clears_stale_orbax_tmp(tmp_path):
+    """A save killed between orbax's tmp write and its atomic rename leaves
+    `steps-<N>.orbax-checkpoint-tmp` behind; the next save at the same step
+    must clear it instead of dying with FileExistsError on the rename
+    (observed live in the round-4 q4_hr run when the watchdog fired
+    mid-save)."""
+    d = str(tmp_path / "ckpt")
+    os.makedirs(d)
+    stale = os.path.join(d, "steps-5.orbax-checkpoint-tmp")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "junk"), "w") as f:
+        f.write("partial write")
+    ckpt_lib.save(d, make_state(5), step=5, ckpt_num=2)
+    assert not os.path.exists(stale)
+    restored = ckpt_lib.restore(os.path.join(d, "steps-5"), make_state(0))
+    assert int(restored["step"]) == 5
+
+
+def test_rotate_sweeps_all_stale_tmps(tmp_path):
+    d = str(tmp_path / "ckpt")
+    ckpt_lib.save(d, make_state(1), step=1, ckpt_num=2)
+    for n in ["steps-1.orbax-checkpoint-tmp", "steps-9.orbax-checkpoint-tmp-x"]:
+        os.makedirs(os.path.join(d, n))
+    ckpt_lib.rotate(d, ckpt_num=2)
+    left = [n for n in os.listdir(d) if ".orbax-checkpoint-tmp" in n]
+    assert left == [], left
+    assert os.path.isdir(os.path.join(d, "steps-1"))
