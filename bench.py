@@ -339,8 +339,15 @@ def main():
                 },
                 "node_cap_finest": finest_cap,
                 "batch": bench_batch,
-                "dpmpp_50step_s_per_shape": (
+                f"dpmpp_{fast_steps}step_s_per_shape": (
                     round(dt_fast, 4) if dt_fast is not None else None
+                ),
+                # cold/warm split: everything before the first timed shape
+                # (imports, data, init, lower+compile).  VERDICT r3 #7 asks
+                # for a logged cold run < 500 s of setup.
+                "setup_s": round(
+                    time.time() - t_setup - n_iters * bench_batch * dt
+                    - t_fast_total, 1
                 ),
             }
         )
