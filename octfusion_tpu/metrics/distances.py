@@ -104,6 +104,7 @@ def pairwise_cd_emd(
     row_block: int = 4,
     emd_store_dtype=jnp.float32,
     shard_devices=None,
+    progress: str = None,
 ):
     """All-pairs Chamfer (+EMD) matrices between two point-cloud sets
     (`metrics/evaluation_metrics.py:111-154`): sample [S,P,3], ref [R,P,3]
@@ -138,6 +139,25 @@ def pairwise_cd_emd(
         return _pairwise_cd_emd_sharded(
             sample, ref, list(shard_devices), batch, emd, row_block,
             emd_store_dtype)
+
+    # ``progress``: a label enabling a time-throttled stderr heartbeat —
+    # an eval tile grid runs for tens of minutes with no output otherwise,
+    # which is indistinguishable from a wedged device transport.
+    import sys
+    import time as _time
+
+    t_start = _last = _time.time()
+
+    def beat(done, total):
+        nonlocal _last
+        if progress and _time.time() - _last > 30:
+            _last = _time.time()
+            rate = done / max(_last - t_start, 1e-9)
+            sys.stderr.write(
+                f"[pairwise {progress}] {done}/{total} pairs "
+                f"({100 * done / total:.0f}%, {rate:.0f} pairs/s, "
+                f"eta {(total - done) / max(rate, 1e-9):.0f}s)\n")
+            sys.stderr.flush()
 
     s = sample.shape[0]
     r = ref.shape[0]
@@ -174,6 +194,7 @@ def pairwise_cd_emd(
             cdv, emv = tile(rows, cols)
             cd[i0:i1, j0:j1] = np.asarray(cdv)[: i1 - i0, : j1 - j0]
             em[i0:i1, j0:j1] = np.asarray(emv)[: i1 - i0, : j1 - j0]
+        beat(i1 * r, s * r)
     return cd, em
 
 

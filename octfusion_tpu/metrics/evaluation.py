@@ -66,9 +66,9 @@ def evaluate_point_sets(sample_pts, ref_pts, batch: int = 16,
     sp = jnp.asarray(sample_pts)
     rp = jnp.asarray(ref_pts)
     kw = dict(emd_store_dtype=store, shard_devices=shard_devices)
-    cd_sr, emd_sr = pairwise_cd_emd(sp, rp, batch, emd, **kw)
-    cd_ss, emd_ss = pairwise_cd_emd(sp, sp, batch, emd, **kw)
-    cd_rr, emd_rr = pairwise_cd_emd(rp, rp, batch, emd, **kw)
+    cd_sr, emd_sr = pairwise_cd_emd(sp, rp, batch, emd, progress="s-r", **kw)
+    cd_ss, emd_ss = pairwise_cd_emd(sp, sp, batch, emd, progress="s-s", **kw)
+    cd_rr, emd_rr = pairwise_cd_emd(rp, rp, batch, emd, progress="r-r", **kw)
     out = {}
     out["1nna_cd"] = compute_1_nna(cd_ss, cd_rr, cd_sr)
     cm = compute_cov_mmd(cd_sr)

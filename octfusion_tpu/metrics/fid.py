@@ -196,7 +196,20 @@ def mesh_set_features(paths, image_size: int = 299, n_views: int = 20,
     if cache_dir and tag:
         os.makedirs(cache_dir, exist_ok=True)
     out = []
-    for p in paths:
+    # time-throttled heartbeat: rendering a 512-mesh set is ~25 min of
+    # otherwise-silent single-host rasterisation
+    import sys
+    import time as _time
+
+    t0 = _last = _time.time()
+    for i, p in enumerate(paths):
+        if _time.time() - _last > 30:
+            _last = _time.time()
+            rate = max(i, 1) / (_last - t0)
+            sys.stderr.write(
+                f"[fid render] {i}/{len(paths)} meshes "
+                f"(eta {(len(paths) - i) / max(rate, 1e-9):.0f}s)\n")
+            sys.stderr.flush()
         cpath = None
         if cache_dir and tag:
             st = os.stat(p)

@@ -103,6 +103,10 @@ def main():
         from octfusion_tpu.metrics import fid as fid_lib
 
         sc, rc = _fid_caches()
+        print(f"[*] pairwise metrics done in "
+              f"{res['wall_s_pairwise_metrics']:.1f}s; rendering "
+              f"{len(s_paths)}+{len(r_paths)} meshes x {args.fid_views} "
+              f"views for stand-in shading FID", flush=True)
         res["shading_fid_standin"] = fid_lib.shading_fid(
             s_paths, r_paths, n_views=args.fid_views,
             feature_fn=fid_lib.standin_feature_extractor(),
