@@ -220,7 +220,10 @@ def main():
 
     # fast-path solver built up front so its programs join the parallel warm
     use_fast = os.environ.get("BENCH_FAST", "1") != "0"
-    fast_steps = int(os.environ.get("BENCH_FAST_STEPS", "50"))
+    # 25 is the quality-validated fast protocol: METRICS_r04.md scores
+    # dpmpp-25 within the eval noise band of ancestral-100 on 1-NNA/MMD/
+    # FID (COV-EMD dips 0.46->0.39, recorded there).
+    fast_steps = int(os.environ.get("BENCH_FAST_STEPS", "25"))
     solver_fast = None
     if use_fast:
         import dataclasses
@@ -303,9 +306,9 @@ def main():
         pending = nxt
     dt = (time.time() - t0) / (n_iters * bench_batch)
 
-    # secondary metric: the DPM-Solver++(2M) fast path at 50 steps (same
-    # cascade; quality parity measured in METRICS_r03.md).  Opt out with
-    # BENCH_FAST=0.
+    # secondary metric: the DPM-Solver++(2M) fast path (same cascade;
+    # scored quality parity vs ancestral measured in METRICS_r04.md).
+    # Opt out with BENCH_FAST=0.
     dt_fast = None
     t_fast_total = 0.0
     if solver_fast is not None:

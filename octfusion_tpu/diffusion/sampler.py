@@ -48,10 +48,11 @@ def sample_loop(
     exactly; ``"dpmpp"`` runs DPM-Solver++(2M) (deterministic 2nd-order
     multistep on the probability-flow ODE, data-prediction form) over the
     same uniform time grid — the TPU fast path: ~4x fewer denoiser calls,
-    and the denoiser dominates sampling wall-time.  Quality evidence:
-    occupancy pre-flights show dpmpp at least as split-faithful as
-    ancestral on identical weights (METRICS_r03.md); scored-metric
-    comparison under the full eval contract is in METRICS_r04.md."""
+    and the denoiser dominates sampling wall-time.  Quality evidence
+    (METRICS_r04.md, 256-shape sets under the full eval contract): dpmpp
+    at 50 and 25 steps matches the ancestral protocol within the ±2%
+    noise band on 1-NNA/MMD/stand-in-FID; the one measured cost is a
+    modest COV-EMD dip (0.46 ancestral → 0.41 @50 → 0.39 @25)."""
     if solver == "dpmpp":
         return _sample_loop_dpmpp(
             denoise_fn, key, shape, batch_size, steps, log_snr_fn,
