@@ -1,0 +1,148 @@
+#!/usr/bin/env bash
+# Round-4 quality protocol, part 2 ("v5"): separate the two remaining
+# quality axes left open by the v4 run (METRICS_r04.md).
+#
+# v4 fixed the lr occupancy bias (pos_weight 1.75, gt-ratio 0.42 -> ~1.0,
+# COV-EMD 0.31 -> 0.46) but trimmed the decoder stages to fit the wall
+# clock (VAE 6000 -> 3000, hr 7000 -> 2000 vs v3) and 1-NNA stayed ~0.84.
+# Two candidate explanations, each with its own lever:
+#   (a) decoder ceiling  — VAE/hr under-trained      -> v5a
+#   (b) lr convergence   — 8k steps vs v3's 30k       -> v5b
+# This protocol measures BOTH, interleaved so a wall-clock cut still
+# leaves scored evidence:
+#
+#   recon-q4 : VAE-reconstruction ceiling of the v4 checkpoint (new
+#              tools/vae_recon_eval.py) — 1-NNA(recon, ref) ~0.5 means
+#              the decoder is NOT the ceiling
+#   v5a      : fresh VAE 6000 + hr 4000, lr kept at v4's 8k
+#              -> isolates the decoder axis vs v4
+#   recon-q5 : ceiling of the new VAE (did the ceiling itself move?)
+#   v5b      : lr resumed 8k -> 30k (same pos_weight), hr retrained
+#              against it -> isolates the lr-schedule axis
+#
+# All sample sets are ancestral-100 (the reference protocol,
+# `/root/reference/models/octfusion_model_union.py:300-352`) at COUNT=256
+# against the same disjoint reference set as v4; metric JSONs, recon
+# ceilings, pre-flights and a manifest land in git-tracked results/.
+# Idempotent: training auto-resumes, every expensive stage is gated on
+# its output artifact.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+LOGS=${LOGS:-logs}
+CFG=${CFG:-configs/synthetic_medium_v2.yaml}
+POS_WEIGHT=${POS_WEIGHT:-1.75}
+COUNT=${COUNT:-256}
+RECON_COUNT=${RECON_COUNT:-128}
+VAE5_STEPS=${VAE5_STEPS:-6000}
+LR5_STEPS=${LR5_STEPS:-30000}
+HR5_STEPS=${HR5_STEPS:-4000}
+RES=results
+mkdir -p "$LOGS" "$RES"
+
+stage_done () {  # stage_done <rundir> <steps>: ckpt at/after target step?
+    python - "$1" "$2" <<'EOF'
+import sys, re, pathlib
+run, target = pathlib.Path(sys.argv[1]), int(sys.argv[2])
+steps = [int(m.group(1)) for p in run.glob("ckpt/steps-*")
+         if (m := re.match(r"steps-(\d+)$", p.name))]
+sys.exit(0 if steps and max(steps) >= target else 1)
+EOF
+}
+
+recon () {  # recon <tag> <vae_rundir>: reconstruction ceiling -> results/
+    [ -f "$RES/metrics_recon_$1.json" ] && return 0
+    python tools/vae_recon_eval.py --config $CFG --run "$2" \
+        --out "$LOGS/recon_$1" --start 10000 --count $RECON_COUNT
+    python tools/evaluate.py --samples "$LOGS/recon_$1/*.obj" \
+        --reference "$LOGS/ref_synthetic/*.obj" --emd --emd_bf16 \
+        --batch 16 --out "$RES/metrics_recon_$1.json"
+}
+
+gen_eval () {  # gen_eval <hr_rundir> <tag>: ancestral-256 + full contract
+    local RUN=$1 TAG=$2
+    if [ ! -d "$RUN/results_airplane_a100" ]; then
+        rm -rf "$RUN/results_airplane"
+        python train.py --model union --stage hr --mode generate \
+            --config $CFG --name "$(basename "$RUN")" --logs_dir $LOGS \
+            --count $COUNT --vq_ckpt $LOGS/q5_vae/ckpt/steps-latest
+        mv "$RUN/results_airplane" "$RUN/results_airplane_a100"
+    fi
+    [ -f "$RES/metrics_$TAG.json" ] || python tools/evaluate.py \
+        --samples "$RUN/results_airplane_a100/*.obj" \
+        --reference "$LOGS/ref_synthetic/*.obj" \
+        --emd --emd_bf16 --fid_standin --batch 16 \
+        --out "$RES/metrics_$TAG.json"
+}
+
+# ---- recon ceiling of the v4 VAE (diagnostic, ~12 min) -------------------
+recon q4_vae $LOGS/q4_vae
+
+# ---- v5a: decoder axis (fresh VAE 6000 + hr 4000, lr frozen at v4's 8k) --
+stage_done $LOGS/q5_vae $VAE5_STEPS || \
+python train.py --model vae --mode train --config $CFG \
+    --name q5_vae --logs_dir $LOGS --max_steps $VAE5_STEPS
+
+recon q5_vae $LOGS/q5_vae
+
+stage_done $LOGS/q5a_hr $HR5_STEPS || \
+python train.py --model union --stage hr --mode train --config $CFG \
+    --name q5a_hr --logs_dir $LOGS --max_steps $HR5_STEPS \
+    --vq_ckpt $LOGS/q5_vae/ckpt/steps-latest \
+    --pretrain_ckpt $LOGS/q4_lr/ckpt/steps-latest
+
+gen_eval $LOGS/q5a_hr q5a
+
+# ---- v5b: lr-schedule axis (lr 8k -> 30k, hr retrained against it) -------
+stage_done $LOGS/q4_lr $LR5_STEPS || \
+python train.py --model union --stage lr --mode train --config $CFG \
+    --name q4_lr --logs_dir $LOGS --max_steps $LR5_STEPS \
+    --pos_weight $POS_WEIGHT
+
+if [ ! -f "$RES/preflight_q5_lr30k.txt" ]; then
+    { echo "# q5 lr pre-flight: pos_weight=$POS_WEIGHT, step $LR5_STEPS, $(date -u +%FT%TZ)"
+      python tools/lr_occupancy.py --config $CFG --run $LOGS/q4_lr \
+          --count 24 --gt_count 48 --samplers ancestral,dpmpp
+    } | tee "$RES/preflight_q5_lr30k.txt"
+fi
+
+stage_done $LOGS/q5b_hr $HR5_STEPS || \
+python train.py --model union --stage hr --mode train --config $CFG \
+    --name q5b_hr --logs_dir $LOGS --max_steps $HR5_STEPS \
+    --vq_ckpt $LOGS/q5_vae/ckpt/steps-latest \
+    --pretrain_ckpt $LOGS/q4_lr/ckpt/steps-latest
+
+gen_eval $LOGS/q5b_hr q5b
+
+# ---- manifest -------------------------------------------------------------
+python - "$LOGS" "$POS_WEIGHT" <<'EOF'
+import hashlib, json, pathlib, re, sys
+logs, pw = pathlib.Path(sys.argv[1]), float(sys.argv[2])
+def ckstep(run):
+    s = [int(m.group(1)) for p in (logs / run).glob("ckpt/steps-*")
+         if (m := re.match(r"steps-(\d+)$", p.name))]
+    return max(s) if s else None
+def dig(d):
+    objs = sorted(pathlib.Path(d).glob("*.obj"))
+    h = hashlib.sha256()
+    for p in objs:
+        h.update(p.name.encode())
+        h.update(hashlib.sha256(p.read_bytes()).digest())
+    return {"count": len(objs), "sha256": h.hexdigest()}
+man = {
+    "config": "configs/synthetic_medium_v2.yaml",
+    "seed": 42, "pos_weight": pw,
+    "ckpt_steps": {r: ckstep(r) for r in
+                   ("q5_vae", "q4_lr", "q5a_hr", "q5b_hr")},
+    "sets": {t: dig(logs / f"{r}/results_airplane_a100")
+             for t, r in (("q5a", "q5a_hr"), ("q5b", "q5b_hr"))
+             if (logs / f"{r}/results_airplane_a100").is_dir()},
+    "recon": {t: dig(logs / f"recon_{t}")
+              for t in ("q4_vae", "q5_vae")
+              if (logs / f"recon_{t}").is_dir()},
+    "reference": dig(logs / "ref_synthetic"),
+}
+out = pathlib.Path("results/MANIFEST_q5.json")
+out.write_text(json.dumps(man, indent=2) + "\n")
+print("[manifest]", out)
+EOF
+echo "[done] v5 metrics in $RES/metrics_{recon_q4_vae,recon_q5_vae,q5a,q5b}.json"
