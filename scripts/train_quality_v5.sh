@@ -113,6 +113,22 @@ python train.py --model union --stage hr --mode train --config $CFG \
 
 gen_eval $LOGS/q5b_hr q5b
 
+# dpmpp-25 at the best checkpoint: re-validate the adopted fast protocol
+# (METRICS_r04.md fast-path verdict) at improved quality — gen is ~6 min
+if [ ! -d "$LOGS/q5b_hr/results_airplane_dpmpp25" ]; then
+    rm -rf "$LOGS/q5b_hr/results_airplane"
+    python train.py --model union --stage hr --mode generate --config $CFG \
+        --name q5b_hr --logs_dir $LOGS --count $COUNT \
+        --sampler dpmpp --sample_steps 25 \
+        --vq_ckpt $LOGS/q5_vae/ckpt/steps-latest
+    mv "$LOGS/q5b_hr/results_airplane" "$LOGS/q5b_hr/results_airplane_dpmpp25"
+fi
+[ -f "$RES/metrics_q5b_dpmpp25.json" ] || python tools/evaluate.py \
+    --samples "$LOGS/q5b_hr/results_airplane_dpmpp25/*.obj" \
+    --reference "$LOGS/ref_synthetic/*.obj" \
+    --emd --emd_bf16 --fid_standin --batch 16 \
+    --out "$RES/metrics_q5b_dpmpp25.json"
+
 # ---- manifest -------------------------------------------------------------
 python - "$LOGS" "$POS_WEIGHT" <<'EOF'
 import hashlib, json, pathlib, re, sys
@@ -133,9 +149,12 @@ man = {
     "seed": 42, "pos_weight": pw,
     "ckpt_steps": {r: ckstep(r) for r in
                    ("q5_vae", "q4_lr", "q5a_hr", "q5b_hr")},
-    "sets": {t: dig(logs / f"{r}/results_airplane_a100")
-             for t, r in (("q5a", "q5a_hr"), ("q5b", "q5b_hr"))
-             if (logs / f"{r}/results_airplane_a100").is_dir()},
+    "sets": {t: dig(logs / d)
+             for t, d in (("q5a", "q5a_hr/results_airplane_a100"),
+                          ("q5b", "q5b_hr/results_airplane_a100"),
+                          ("q5b_dpmpp25",
+                           "q5b_hr/results_airplane_dpmpp25"))
+             if (logs / d).is_dir()},
     "recon": {t: dig(logs / f"recon_{t}")
               for t in ("q4_vae", "q5_vae")
               if (logs / f"recon_{t}").is_dir()},
