@@ -38,6 +38,16 @@ LR5_STEPS=${LR5_STEPS:-30000}
 HR5_STEPS=${HR5_STEPS:-4000}
 RES=results
 mkdir -p "$LOGS" "$RES"
+: > /tmp/q5_fid.pids
+
+commit_results () {  # commit_results <msg> <paths...>: durable evidence ASAP
+    # Every metric artifact referenced by METRICS_*.md must be in git
+    # history by the time this script exits (logs/ has been wiped between
+    # rounds before; results/ is the durable home).
+    local MSG=$1; shift
+    git add "$@" 2>/dev/null || true
+    git diff --cached --quiet || git commit -q -m "$MSG" || true
+}
 
 stage_done () {  # stage_done <rundir> <steps>: ckpt at/after target step?
     python - "$1" "$2" <<'EOF'
@@ -56,6 +66,35 @@ recon () {  # recon <tag> <vae_rundir>: reconstruction ceiling -> results/
     python tools/evaluate.py --samples "$LOGS/recon_$1/*.obj" \
         --reference "$LOGS/ref_synthetic/*.obj" --emd --emd_bf16 \
         --batch 16 --out "$RES/metrics_recon_$1.json"
+    commit_results "v5 quality: VAE reconstruction ceiling ($1)" \
+        "$RES/metrics_recon_$1.json"
+}
+
+fid_standin_bg () {  # fid_standin_bg <sample_glob> <tag>: CPU FID, detached
+    # The stand-in shading FID is render-bound (~20 min/set on this
+    # image's CPU) — run it OFF the accelerator critical path, pipelined
+    # against the next training stage.  --cpu forces the CPU backend (env
+    # var alone is overridden by sitecustomize) so it can never contend
+    # for the chip; nice so the trainer's host thread wins the single
+    # core.  Commits its own artifact (idempotent on re-runs).
+    local GLOB=$1 TAG=$2
+    [ -f "$RES/fid_$TAG.json" ] && return 0
+    # survive watchdog restarts of this script without double-spawning
+    if [ -f "/tmp/q5_fid_$TAG.pid" ] && \
+            ps -p "$(cat /tmp/q5_fid_$TAG.pid)" > /dev/null 2>&1; then
+        cat "/tmp/q5_fid_$TAG.pid" >> /tmp/q5_fid.pids
+        return 0
+    fi
+    nohup nice -n 19 bash -c "
+        python tools/evaluate.py --samples '$GLOB' \
+            --reference '$LOGS/ref_synthetic/*.obj' --cpu \
+            --skip_pairwise --fid_standin --out '$RES/fid_$TAG.json' &&
+        git add '$RES/fid_$TAG.json' &&
+        { git diff --cached --quiet ||
+          git commit -q -m 'v5 quality: stand-in shading FID ($TAG)'; }
+    " > "$LOGS/fid_$TAG.log" 2>&1 &
+    echo $! > "/tmp/q5_fid_$TAG.pid"
+    echo $! >> /tmp/q5_fid.pids
 }
 
 gen_eval () {  # gen_eval <hr_rundir> <tag>: ancestral-256 + full contract
@@ -70,8 +109,11 @@ gen_eval () {  # gen_eval <hr_rundir> <tag>: ancestral-256 + full contract
     [ -f "$RES/metrics_$TAG.json" ] || python tools/evaluate.py \
         --samples "$RUN/results_airplane_a100/*.obj" \
         --reference "$LOGS/ref_synthetic/*.obj" \
-        --emd --emd_bf16 --fid_standin --batch 16 \
+        --emd --emd_bf16 --batch 16 \
         --out "$RES/metrics_$TAG.json"
+    commit_results "v5 quality: ancestral-100 metric set ($TAG)" \
+        "$RES/metrics_$TAG.json"
+    fid_standin_bg "$RUN/results_airplane_a100/*.obj" "$TAG"
 }
 
 # ---- recon ceiling of the v4 VAE (diagnostic, ~12 min) -------------------
@@ -93,23 +135,34 @@ python train.py --model union --stage hr --mode train --config $CFG \
 gen_eval $LOGS/q5a_hr q5a
 
 # ---- v5b: lr-schedule axis (lr 8k -> 30k, hr retrained against it) -------
-stage_done $LOGS/q4_lr $LR5_STEPS || \
+# Extend a COPY of q4_lr, not q4_lr itself: checkpoint rotation
+# (ckpt_num=5) on an in-place extension would delete the 8k checkpoint
+# q5a_hr was initialised from, and the manifest would misdescribe q5a's
+# lr provenance (advisor r4).  q4_lr stays frozen at its 8k state.
+if [ ! -d "$LOGS/q5b_lr" ]; then
+    cp -a "$LOGS/q4_lr" "$LOGS/q5b_lr"
+    LATEST=$(basename "$(readlink "$LOGS/q5b_lr/ckpt/steps-latest")")
+    ln -sfn "$(pwd)/$LOGS/q5b_lr/ckpt/$LATEST" "$LOGS/q5b_lr/ckpt/steps-latest"
+fi
+stage_done $LOGS/q5b_lr $LR5_STEPS || \
 python train.py --model union --stage lr --mode train --config $CFG \
-    --name q4_lr --logs_dir $LOGS --max_steps $LR5_STEPS \
+    --name q5b_lr --logs_dir $LOGS --max_steps $LR5_STEPS \
     --pos_weight $POS_WEIGHT
 
 if [ ! -f "$RES/preflight_q5_lr30k.txt" ]; then
     { echo "# q5 lr pre-flight: pos_weight=$POS_WEIGHT, step $LR5_STEPS, $(date -u +%FT%TZ)"
-      python tools/lr_occupancy.py --config $CFG --run $LOGS/q4_lr \
+      python tools/lr_occupancy.py --config $CFG --run $LOGS/q5b_lr \
           --count 24 --gt_count 48 --samplers ancestral,dpmpp
     } | tee "$RES/preflight_q5_lr30k.txt"
+    commit_results "v5 quality: lr-30k occupancy pre-flight" \
+        "$RES/preflight_q5_lr30k.txt"
 fi
 
 stage_done $LOGS/q5b_hr $HR5_STEPS || \
 python train.py --model union --stage hr --mode train --config $CFG \
     --name q5b_hr --logs_dir $LOGS --max_steps $HR5_STEPS \
     --vq_ckpt $LOGS/q5_vae/ckpt/steps-latest \
-    --pretrain_ckpt $LOGS/q4_lr/ckpt/steps-latest
+    --pretrain_ckpt $LOGS/q5b_lr/ckpt/steps-latest
 
 gen_eval $LOGS/q5b_hr q5b
 
@@ -126,8 +179,18 @@ fi
 [ -f "$RES/metrics_q5b_dpmpp25.json" ] || python tools/evaluate.py \
     --samples "$LOGS/q5b_hr/results_airplane_dpmpp25/*.obj" \
     --reference "$LOGS/ref_synthetic/*.obj" \
-    --emd --emd_bf16 --fid_standin --batch 16 \
+    --emd --emd_bf16 --batch 16 \
     --out "$RES/metrics_q5b_dpmpp25.json"
+commit_results "v5 quality: dpmpp-25 re-validation at the best checkpoint" \
+    "$RES/metrics_q5b_dpmpp25.json"
+fid_standin_bg "$LOGS/q5b_hr/results_airplane_dpmpp25/*.obj" q5b_dpmpp25
+
+# drain the detached CPU FID jobs before the manifest (their artifacts
+# are part of the v5 evidence set)
+while [ -s /tmp/q5_fid.pids ] && \
+      ps -p "$(tr '\n' ',' < /tmp/q5_fid.pids | sed 's/,$//')" > /dev/null 2>&1; do
+    sleep 30
+done
 
 # ---- manifest -------------------------------------------------------------
 python - "$LOGS" "$POS_WEIGHT" <<'EOF'
@@ -148,7 +211,11 @@ man = {
     "config": "configs/synthetic_medium_v2.yaml",
     "seed": 42, "pos_weight": pw,
     "ckpt_steps": {r: ckstep(r) for r in
-                   ("q5_vae", "q4_lr", "q5a_hr", "q5b_hr")},
+                   ("q5_vae", "q4_lr", "q5b_lr", "q5a_hr", "q5b_hr")},
+    # actual lr checkpoint each hr stage was initialised from (q4_lr is
+    # frozen at its v4 state; q5b extended a copy, see script header)
+    "lr_provenance": {"q5a_hr": {"run": "q4_lr", "step": ckstep("q4_lr")},
+                      "q5b_hr": {"run": "q5b_lr", "step": ckstep("q5b_lr")}},
     "sets": {t: dig(logs / d)
              for t, d in (("q5a", "q5a_hr/results_airplane_a100"),
                           ("q5b", "q5b_hr/results_airplane_a100"),
@@ -164,4 +231,5 @@ out = pathlib.Path("results/MANIFEST_q5.json")
 out.write_text(json.dumps(man, indent=2) + "\n")
 print("[manifest]", out)
 EOF
+commit_results "v5 quality: seeds+hashes manifest" "$RES/MANIFEST_q5.json"
 echo "[done] v5 metrics in $RES/metrics_{recon_q4_vae,recon_q5_vae,q5a,q5b}.json"

@@ -64,26 +64,43 @@ def main():
                         "weights needed; reported as fid_standin — NOT "
                         "comparable to Inception-FID numbers)")
     p.add_argument("--fid_views", type=int, default=20)
+    p.add_argument("--skip_pairwise", action="store_true",
+                   help="skip the pairwise CD/EMD metrics (FID-only pass; "
+                        "lets the CPU-bound render run off the accelerator "
+                        "critical path while the next stage trains)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the env var alone is not "
+                        "enough: sitecustomize pre-imports jax against the "
+                        "accelerator, so a FID-only pass would otherwise "
+                        "still claim the chip and contend with training)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
-    from octfusion_tpu.metrics import evaluation
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
 
-    t0 = time.time()
+        jax.config.update("jax_platforms", "cpu")
+
     s_paths = sorted(glob.glob(args.samples))
     r_paths = sorted(glob.glob(args.reference))
     assert s_paths and r_paths, (args.samples, args.reference)
-    sp, _ = meshes_to_pointclouds(s_paths, args.points, seed=0)
-    rp, _ = meshes_to_pointclouds(r_paths, args.points, seed=10_000)
-    t_sample = time.time() - t0
-    print(f"[*] {len(sp)} samples vs {len(rp)} references "
-          f"({args.points} pts each, surface sampling {t_sample:.1f}s)")
-    t1 = time.time()
-    res = evaluation.evaluate_point_sets(
-        sp, rp, batch=args.batch, emd=args.emd, emd_bf16=args.emd_bf16,
-        shard_devices="auto" if args.shard else None)
-    res["wall_s_pointcloud_sampling"] = round(t_sample, 1)
-    res["wall_s_pairwise_metrics"] = round(time.time() - t1, 1)
+    res = {}
+    if not args.skip_pairwise:
+        from octfusion_tpu.metrics import evaluation
+
+        t0 = time.time()
+        sp, _ = meshes_to_pointclouds(s_paths, args.points, seed=0)
+        rp, _ = meshes_to_pointclouds(r_paths, args.points, seed=10_000)
+        t_sample = time.time() - t0
+        print(f"[*] {len(sp)} samples vs {len(rp)} references "
+              f"({args.points} pts each, surface sampling {t_sample:.1f}s)")
+        t1 = time.time()
+        res = evaluation.evaluate_point_sets(
+            sp, rp, batch=args.batch, emd=args.emd, emd_bf16=args.emd_bf16,
+            shard_devices="auto" if args.shard else None)
+        res["wall_s_pointcloud_sampling"] = round(t_sample, 1)
+        res["wall_s_pairwise_metrics"] = round(time.time() - t1, 1)
     t1 = time.time()
     def _fid_caches():
         # per-set feature caches next to the meshes: the fixed reference set
@@ -103,10 +120,11 @@ def main():
         from octfusion_tpu.metrics import fid as fid_lib
 
         sc, rc = _fid_caches()
-        print(f"[*] pairwise metrics done in "
-              f"{res['wall_s_pairwise_metrics']:.1f}s; rendering "
-              f"{len(s_paths)}+{len(r_paths)} meshes x {args.fid_views} "
-              f"views for stand-in shading FID", flush=True)
+        print(f"[*] rendering {len(s_paths)}+{len(r_paths)} meshes x "
+              f"{args.fid_views} views for stand-in shading FID "
+              f"(pairwise wall "
+              f"{res.get('wall_s_pairwise_metrics', 'skipped')}s)",
+              flush=True)
         res["shading_fid_standin"] = fid_lib.shading_fid(
             s_paths, r_paths, n_views=args.fid_views,
             feature_fn=fid_lib.standin_feature_extractor(),
