@@ -294,23 +294,33 @@ def main():
 
     # steady-state generation: shape i's host marching + D2H overlap shape
     # i+1's device work (async dispatch; one device queue, so per-shape
-    # device latency is unchanged -- this measures honest throughput)
+    # device latency is unchanged -- this measures honest throughput).
+    # Per-iteration wall times are kept so the headline can be a MEDIAN
+    # with min/max spread: the shared axon pool swings up to ~4x with
+    # co-tenant load (r4 measured 4.73 vs 18.9 s/shape on the same
+    # program hours apart), so a single-draw mean is not a robust
+    # round-over-round number.
+    iter_s = []
     t0 = time.time()
     pending = submit_timed(1)
     for i in range(n_iters):
         ti = time.time()
         nxt = submit_timed(i + 2) if i + 1 < n_iters else None
         nv, nf = finish(pending)
+        iter_s.append(time.time() - ti)
         if verbose:
-            sys.stderr.write(f"  [iter] {time.time() - ti:.3f}s\n")
+            sys.stderr.write(f"  [iter] {iter_s[-1]:.3f}s\n")
         pending = nxt
-    dt = (time.time() - t0) / (n_iters * bench_batch)
+    dt_total = time.time() - t0
+    dt = dt_total / (n_iters * bench_batch)
+    dt_median = float(np.median(iter_s)) / bench_batch
 
     # secondary metric: the DPM-Solver++(2M) fast path (same cascade;
     # scored quality parity vs ancestral measured in METRICS_r04.md).
     # Opt out with BENCH_FAST=0.
     dt_fast = None
     t_fast_total = 0.0
+    fast_iter_s = []
     if solver_fast is not None:
         t_fast0 = time.time()
         finish(submit(0, use_solver=solver_fast, use_steps=fast_steps))
@@ -318,12 +328,14 @@ def main():
         t0 = time.time()
         pending = submit(1, use_solver=solver_fast, use_steps=fast_steps)
         for i in range(n_iters):
+            ti = time.time()
             nxt = (submit(i + 2, use_solver=solver_fast,
                           use_steps=fast_steps)
                    if i + 1 < n_iters else None)
             finish(pending)
+            fast_iter_s.append(time.time() - ti)
             pending = nxt
-        dt_fast = (time.time() - t0) / (n_iters * bench_batch)
+        dt_fast = float(np.median(fast_iter_s)) / bench_batch
         t_fast_total = time.time() - t_fast0
 
     print(
@@ -332,10 +344,20 @@ def main():
                 "metric": (
                     f"sec_per_shape_depth8_cap{finest_cap // 1024}k_e2e_mesh"
                 ),
-                "value": round(dt, 4),
+                # headline = median of the n_iters per-shape walls; the
+                # mean and min/max spread are reported alongside so
+                # round-over-round deltas can be read against the pool's
+                # own swing (narrate a delta only when outside it)
+                "value": round(dt_median, 4),
                 "unit": "s/shape",
-                "vs_baseline": round(dt / 2.0, 4),
-                "v5e8_throughput_est": round(dt / 8.0, 4),
+                "vs_baseline": round(dt_median / 2.0, 4),
+                "mean_s_per_shape": round(dt, 4),
+                "iters_s_min_max": [
+                    round(min(iter_s) / bench_batch, 4),
+                    round(max(iter_s) / bench_batch, 4),
+                ],
+                "n_iters": n_iters,
+                "v5e8_throughput_est": round(dt_median / 8.0, 4),
                 "mesh_verts_last": int(nv),
                 "octree_nnum": {
                     str(dd): int(v) for dd, v in last_nnum.items()
@@ -345,12 +367,16 @@ def main():
                 f"dpmpp_{fast_steps}step_s_per_shape": (
                     round(dt_fast, 4) if dt_fast is not None else None
                 ),
+                f"dpmpp_{fast_steps}step_min_max": (
+                    [round(min(fast_iter_s) / bench_batch, 4),
+                     round(max(fast_iter_s) / bench_batch, 4)]
+                    if fast_iter_s else None
+                ),
                 # cold/warm split: everything before the first timed shape
                 # (imports, data, init, lower+compile).  VERDICT r3 #7 asks
                 # for a logged cold run < 500 s of setup.
                 "setup_s": round(
-                    time.time() - t_setup - n_iters * bench_batch * dt
-                    - t_fast_total, 1
+                    time.time() - t_setup - dt_total - t_fast_total, 1
                 ),
             }
         )
@@ -359,9 +385,11 @@ def main():
         f"{k} {v:.1f}s" for k, v in phase_t.items()
         if k not in ("start", "_last")
     )
+    # same subtraction as the JSON setup_s field (they disagreed when
+    # BENCH_BATCH > 1 before; advisor r4)
     sys.stderr.write(
         f"[bench] setup+compile "
-        f"{time.time() - t_setup - n_iters * dt - t_fast_total:.1f}s "
+        f"{time.time() - t_setup - dt_total - t_fast_total:.1f}s "
         f"({phase_str}), "
         f"devices={jax.devices()}, last mesh {nv} verts / {nf} faces\n"
     )
