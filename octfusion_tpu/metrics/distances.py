@@ -15,6 +15,7 @@ TPU-native counterparts of the reference's CUDA kernels
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -137,45 +138,16 @@ def pairwise_cd_emd(
             shard_devices = None
     if shard_devices is not None:
         return _pairwise_cd_emd_sharded(
-            sample, ref, list(shard_devices), batch, emd, row_block,
-            emd_store_dtype)
-
-    # ``progress``: a label enabling a time-throttled stderr heartbeat —
-    # an eval tile grid runs for tens of minutes with no output otherwise,
-    # which is indistinguishable from a wedged device transport.
-    import sys
-    import time as _time
-
-    t_start = _last = _time.time()
-
-    def beat(done, total):
-        nonlocal _last
-        if progress and _time.time() - _last > 30:
-            _last = _time.time()
-            rate = done / max(_last - t_start, 1e-9)
-            sys.stderr.write(
-                f"[pairwise {progress}] {done}/{total} pairs "
-                f"({100 * done / total:.0f}%, {rate:.0f} pairs/s, "
-                f"eta {(total - done) / max(rate, 1e-9):.0f}s)\n")
-            sys.stderr.flush()
+            sample, ref, tuple(shard_devices), batch, emd, row_block,
+            emd_store_dtype, progress=progress)
 
     s = sample.shape[0]
     r = ref.shape[0]
     cd = np.zeros((s, r), np.float32)
     em = np.zeros((s, r), np.float32)
 
-    @jax.jit
-    def tile(ss, rr):
-        rb, cb = ss.shape[0], rr.shape[0]
-        a = jnp.broadcast_to(ss[:, None], (rb, cb) + ss.shape[1:])
-        b = jnp.broadcast_to(rr[None], (rb, cb) + rr.shape[1:])
-        a = a.reshape((rb * cb,) + ss.shape[1:])
-        b = b.reshape((rb * cb,) + rr.shape[1:])
-        dl, dr = chamfer(a, b)
-        cdv = dl.mean(-1) + dr.mean(-1)
-        emv = (emd_approx(a, b, store_dtype=emd_store_dtype).astype(
-            jnp.float32) if emd else jnp.zeros((rb * cb,)))
-        return cdv.reshape(rb, cb), emv.reshape(rb, cb)
+    beat = _heartbeat(progress)
+    tile = _tile_fn(bool(emd), jnp.dtype(emd_store_dtype).name)
 
     def pad_to(x, n):
         if x.shape[0] == n:
@@ -198,8 +170,78 @@ def pairwise_cd_emd(
     return cd, em
 
 
+def _heartbeat(progress):
+    """Time-throttled stderr progress line — an eval tile grid runs for
+    tens of minutes with no output otherwise, which is indistinguishable
+    from a wedged device transport."""
+    import sys
+    import time as _time
+
+    state = {"last": _time.time(), "start": _time.time()}
+
+    def beat(done, total):
+        if progress and _time.time() - state["last"] > 30:
+            state["last"] = _time.time()
+            rate = done / max(state["last"] - state["start"], 1e-9)
+            sys.stderr.write(
+                f"[pairwise {progress}] {done}/{total} pairs "
+                f"({100 * done / total:.0f}%, {rate:.0f} pairs/s, "
+                f"eta {(total - done) / max(rate, 1e-9):.0f}s)\n")
+            sys.stderr.flush()
+
+    return beat
+
+
+# The jitted tile programs are cached at module level (keyed on the knobs
+# that change the traced program) — a per-call closure would re-trace the
+# same program on each of the three per-eval invocations (advisor r4).
+@functools.lru_cache(maxsize=8)
+def _tile_fn(emd: bool, store_dtype_name: str):
+    store_dtype = jnp.dtype(store_dtype_name)
+
+    @jax.jit
+    def tile(ss, rr):
+        rb, cb = ss.shape[0], rr.shape[0]
+        a = jnp.broadcast_to(ss[:, None], (rb, cb) + ss.shape[1:])
+        b = jnp.broadcast_to(rr[None], (rb, cb) + rr.shape[1:])
+        a = a.reshape((rb * cb,) + ss.shape[1:])
+        b = b.reshape((rb * cb,) + rr.shape[1:])
+        dl, dr = chamfer(a, b)
+        cdv = dl.mean(-1) + dr.mean(-1)
+        emv = (emd_approx(a, b, store_dtype=store_dtype).astype(
+            jnp.float32) if emd else jnp.zeros((rb * cb,)))
+        return cdv.reshape(rb, cb), emv.reshape(rb, cb)
+
+    return tile
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_tile_fn(devices: tuple, emd: bool, store_dtype_name: str):
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    store_dtype = jnp.dtype(store_dtype_name)
+    mesh = Mesh(np.asarray(devices), ("eval",))
+    row_sh = NamedSharding(mesh, P("eval"))
+    rep_sh = NamedSharding(mesh, P())
+
+    @partial(jax.jit, out_shardings=(row_sh, row_sh))
+    def tile(ss, rr):
+        def one_row(s1):
+            a = jnp.broadcast_to(s1[None], (rr.shape[0],) + s1.shape)
+            dl, dr = chamfer(a, rr)
+            cdv = dl.mean(-1) + dr.mean(-1)
+            emv = (emd_approx(a, rr, store_dtype=store_dtype).astype(
+                jnp.float32) if emd else jnp.zeros((rr.shape[0],)))
+            return cdv, emv
+
+        return jax.vmap(one_row)(ss)
+
+    return tile, row_sh, rep_sh
+
+
 def _pairwise_cd_emd_sharded(sample, ref, devices, batch, emd, row_block,
-                             emd_store_dtype):
+                             emd_store_dtype, progress=None):
     """Device-sharded tile loop of :func:`pairwise_cd_emd`.
 
     The [n_dev*row_block, batch] tile keeps rows on a 1-D mesh axis and
@@ -209,25 +251,12 @@ def _pairwise_cd_emd_sharded(sample, ref, devices, batch, emd, row_block,
     linear scaling.  Per-pair numerics are identical to the single-device
     path (same chamfer/emd_approx programs under the vmaps)."""
     import numpy as np
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     n_dev = len(devices)
-    mesh = Mesh(np.asarray(devices), ("eval",))
-    row_sh = NamedSharding(mesh, P("eval"))
-    rep_sh = NamedSharding(mesh, P())
     rb = n_dev * row_block
-
-    @partial(jax.jit, out_shardings=(row_sh, row_sh))
-    def tile(ss, rr):
-        def one_row(s1):
-            a = jnp.broadcast_to(s1[None], (rr.shape[0],) + s1.shape)
-            dl, dr = chamfer(a, rr)
-            cdv = dl.mean(-1) + dr.mean(-1)
-            emv = (emd_approx(a, rr, store_dtype=emd_store_dtype).astype(
-                jnp.float32) if emd else jnp.zeros((rr.shape[0],)))
-            return cdv, emv
-
-        return jax.vmap(one_row)(ss)
+    tile, row_sh, rep_sh = _sharded_tile_fn(
+        tuple(devices), bool(emd), jnp.dtype(emd_store_dtype).name)
+    beat = _heartbeat(progress)
 
     s, r = sample.shape[0], ref.shape[0]
     cd = np.zeros((s, r), np.float32)
@@ -248,4 +277,5 @@ def _pairwise_cd_emd_sharded(sample, ref, devices, batch, emd, row_block,
             cdv, emv = tile(rows, cols)
             cd[i0:i1, j0:j1] = np.asarray(cdv)[: i1 - i0, : j1 - j0]
             em[i0:i1, j0:j1] = np.asarray(emv)[: i1 - i0, : j1 - j0]
+        beat(i1 * r, s * r)
     return cd, em
