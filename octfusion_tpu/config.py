@@ -119,6 +119,9 @@ class LossConfig:
     name: str = "geometry"
     loss_type: str = "sdf_reg_loss"
     kl_weight: float = 0.1
+    # 'analytic' = one-pass SDF+spatial-gradient with shared corner lookups
+    # (nn/losses.py); 'jvp' = the original 4-pass forward-mode formulation
+    spatial_grad: str = "analytic"
 
 
 @dataclasses.dataclass(frozen=True)

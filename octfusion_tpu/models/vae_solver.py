@@ -87,6 +87,7 @@ class VAESolver:
                 m.full_depth, m.depth_stop, m.depth_out,
                 kl_weight=self.cfg.loss.kl_weight,
                 loss_type=self.cfg.loss.loss_type,
+                spatial_grad=self.cfg.loss.spatial_grad,
             )
         # capacity overflow means nodes/edges were dropped -> the step is
         # silently wrong; surface it so the train loop can fail loudly

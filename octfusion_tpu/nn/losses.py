@@ -122,18 +122,39 @@ def geometry_loss(
     depth_out: int,
     kl_weight: float = 0.1,
     loss_type: str = "sdf_reg_loss",
+    spatial_grad: str = "analytic",
 ):
     """Full VAE objective (`loss.py:164-178`): per-depth split CE, per-depth
     SDF+gradient regression, KL.  Returns a dict including the scalar
-    'loss'."""
+    'loss'.
+
+    ``spatial_grad='analytic'`` (default) evaluates each depth's SDF and
+    its spatial gradient in ONE pass (`ops/mpu.mpu_eval_grad`) with the
+    corner lookups shared across the depth_stop..depth_out targets;
+    ``'jvp'`` keeps the original 4-pass (primal + 3 forward-mode JVPs)
+    formulation per target with no sharing — numerically identical
+    (tests/test_vae_mpu.py pins parity), retained for oracle tests and
+    the train-step profiler's before/after attribution."""
     reg_fn = LOSS_FUNCTIONS[loss_type]
     octree_out = vae_out["octree_out"]
     output = octree_split_loss(vae_out["logits"], octree_out)
+    cache = None
+    if spatial_grad == "analytic":
+        cache = {
+            dd: mpu_ops.octree_corner_info(octree_out, dd, pos, pt_batch)
+            for dd in range(full_depth, depth_out + 1)
+        }
     for d in range(depth_stop, depth_out + 1):
-        sdf, grad = mpu_with_grad(
-            pos, pt_batch, vae_out["reg_voxs"][d], octree_out,
-            full_depth, d,
-        )
+        if spatial_grad == "analytic":
+            sdf, grad = mpu_ops.mpu_eval_grad(
+                pos, pt_batch, vae_out["reg_voxs"][d], octree_out,
+                full_depth, d, corner_cache=cache,
+            )
+        else:
+            sdf, grad = mpu_with_grad(
+                pos, pt_batch, vae_out["reg_voxs"][d], octree_out,
+                full_depth, d,
+            )
         output.update(reg_fn(sdf, grad, sdf_gt, grad_gt, f"_{d}"))
     output["kl_loss"] = kl_weight * vae_out["kl_loss"]
     total = sum(v for k, v in output.items() if "loss" in k)

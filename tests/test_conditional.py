@@ -97,3 +97,50 @@ def test_conditional_cascade_label_plumbing():
                           label=lab(1), steps=4)
     np.testing.assert_array_equal(np.asarray(s0), np.asarray(s0b))
     assert float(jnp.abs(s0 - s1).max()) > 0.0
+
+
+def test_conditional_full_cascade_label_plumbing():
+    """The label must survive the FULL generation cascade (lr sample ->
+    split2octree -> dual graph -> hr sample -> growing VAE decode), not
+    just the lr stage: identical PRNG key with different labels must give
+    different decoded fields, and the cascade must be deterministic per
+    label.  Guards the path `tools/class_purity.py` scores on hardware
+    (VERDICT r4 ask #3) against silent label drops between the stages.
+    Reference cascade: `octfusion_model_union.py:300-352` with the label
+    embedding of `graph_unet_lr.py:113-114`."""
+    from octfusion_tpu.models.vae_solver import VAESolver
+
+    cfg = _cond_config()
+    ds = SyntheticDataset(size=4, point_sample_num=256, points_per_shape=2048,
+                          class_families=True)
+    b = collate([ds[0], ds[1]])
+    batch = {k: jnp.asarray(v) for k, v in b.items() if k != "filename"}
+    b1 = {k: v[:1] for k, v in batch.items()}
+
+    key = jax.random.PRNGKey(3)
+    solver = UnionSolver(cfg, stage_flag="hr")
+    vs = VAESolver(cfg)
+    state = solver.init_state(key, b1)
+    vstate = vs.init_state(key, b1, 10)
+    step = solver.make_train_step()
+    for _ in range(3):
+        key, k = jax.random.split(key)
+        state, ld = step(state, vstate.params, batch, k)
+        assert np.isfinite(float(ld["loss"]))
+
+    kk = jax.random.PRNGKey(17)
+    lab = lambda c: jnp.full((1,), c, jnp.int32)
+    d_out = cfg.model.depth_out
+    out0 = solver.dp_cascade(state.params, vstate.params, kk,
+                             label=lab(0), steps=3)
+    out0b = solver.dp_cascade(state.params, vstate.params, kk,
+                              label=lab(0), steps=3)
+    out1 = solver.dp_cascade(state.params, vstate.params, kk,
+                             label=lab(1), steps=3)
+    # reg_voxs is {target_depth: {depth: planes}} — compare the finest level
+    r0 = np.asarray(out0["reg_voxs"][d_out][d_out])
+    r0b = np.asarray(out0b["reg_voxs"][d_out][d_out])
+    r1 = np.asarray(out1["reg_voxs"][d_out][d_out])
+    np.testing.assert_array_equal(r0, r0b)
+    assert np.isfinite(r0).all() and np.isfinite(r1).all()
+    assert np.abs(r0 - r1).max() > 0.0

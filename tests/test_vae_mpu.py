@@ -136,6 +136,90 @@ def test_mpu_grad_matches_fd():
         assert ok.mean() > 0.8, f"axis {axis}: {ok.mean()}"
 
 
+def test_mpu_eval_grad_matches_jvp_path():
+    """The one-pass analytic (sdf, dsdf/dpos) of ``mpu_eval_grad`` must
+    equal mpu_eval + the 3-JVP ``losses.mpu_with_grad`` — both forward
+    values and the reverse-mode gradients w.r.t. the planes (what the VAE
+    training step differentiates)."""
+    o = make_octree(seed=7, batch=2)
+    fd, depth = o.spec.full_depth, o.spec.depth
+    rng = np.random.RandomState(8)
+    reg = {
+        dd: jnp.asarray(
+            rng.normal(size=(o.spec.node_caps[dd], 4)).astype(np.float32)
+        )
+        for dd in range(fd, depth + 1)
+    }
+    pos = jnp.asarray(
+        rng.uniform(-0.99, 0.99, size=(96, 3)).astype(np.float32)
+    )
+    pb = jnp.asarray(rng.randint(0, 2, size=(96,)).astype(np.int32))
+
+    sdf_a, grad_a = mpu_ops.mpu_eval_grad(pos, pb, reg, o, fd, depth)
+    sdf_e, _ = mpu_ops.mpu_eval(pos, pb, reg, o, fd, depth)
+    sdf_j, grad_j = losses.mpu_with_grad(pos, pb, reg, o, fd, depth)
+    np.testing.assert_allclose(np.asarray(sdf_a), np.asarray(sdf_e),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sdf_a), np.asarray(sdf_j),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(grad_a), np.asarray(grad_j),
+                               rtol=1e-4, atol=1e-4)
+
+    def make_scalar(path):
+        def f(r):
+            if path == "analytic":
+                s, g2 = mpu_ops.mpu_eval_grad(pos, pb, r, o, fd, depth)
+            else:
+                s, g2 = losses.mpu_with_grad(pos, pb, r, o, fd, depth)
+            return jnp.sum(s ** 2) + jnp.sum(g2 ** 2)
+
+        return jax.grad(f)(reg)
+
+    ga, gj = make_scalar("analytic"), make_scalar("jvp")
+    for dd in ga:
+        np.testing.assert_allclose(np.asarray(ga[dd]), np.asarray(gj[dd]),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_geometry_loss_analytic_matches_jvp():
+    """geometry_loss(spatial_grad='analytic') must reproduce the 'jvp'
+    formulation: identical loss dict and identical parameter gradients."""
+    o = make_octree(seed=9, batch=2, n=150)
+    g = build_dual_graph(o)
+    vae = tiny_vae(o)
+    key = jax.random.PRNGKey(2)
+    params = vae.init(key, g, g, key)
+
+    rng = np.random.RandomState(10)
+    pos = jnp.asarray(rng.uniform(-0.8, 0.8, size=(64, 3)).astype(np.float32))
+    pb = jnp.asarray(rng.randint(0, 2, size=(64,)).astype(np.int32))
+    sdf_gt = jnp.asarray(rng.normal(size=(64,)).astype(np.float32) * 0.1)
+    grad_gt = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+
+    def loss_fn(p, mode):
+        out = vae.apply(p, g, g, key)
+        ld = losses.geometry_loss(
+            out, pos, pb, sdf_gt, grad_gt,
+            o.spec.full_depth, 3, o.spec.depth, kl_weight=0.1,
+            spatial_grad=mode,
+        )
+        return ld["loss"], ld
+
+    (la, lda), grads_a = jax.value_and_grad(
+        loss_fn, has_aux=True)(params, "analytic")
+    (lj, ldj), grads_j = jax.value_and_grad(
+        loss_fn, has_aux=True)(params, "jvp")
+    np.testing.assert_allclose(float(la), float(lj), rtol=1e-5)
+    for k in ldj:
+        np.testing.assert_allclose(float(lda[k]), float(ldj[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+    fa = jax.tree_util.tree_leaves(grads_a)
+    fj = jax.tree_util.tree_leaves(grads_j)
+    for xa, xj in zip(fa, fj):
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xj),
+                                   rtol=1e-3, atol=1e-5)
+
+
 def tiny_vae(o):
     return GraphVAE(
         depth=o.spec.depth, full_depth=o.spec.full_depth,

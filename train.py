@@ -238,6 +238,16 @@ def main():
     if resume:
         state = ckpt_lib.restore(resume, state)
         print(f"[*] resumed from {resume} at step {int(state.step)}")
+        if args.pretrain_ckpt and args.model != "vae" and args.stage != "lr":
+            # the resumed state overwrites the graft above: the grafted
+            # subtrees (e.g. the frozen lr U-Net inside an hr run) revert to
+            # whatever this run originally grafted.  Extending the lr run
+            # does NOT propagate into a resumed hr run — retrain hr in a
+            # fresh run dir to pick up new lr weights (this silently cost
+            # the round-4 conditional campaign its extended lr).
+            print("[!] NOTE: --pretrain_ckpt graft is superseded by the "
+                  "resumed checkpoint's own (frozen) subtrees; start a "
+                  "fresh run dir to re-graft an updated pretrain stage")
 
     # ------------------------------------------------------------------
     if args.mode == "generate":
