@@ -73,6 +73,9 @@ def main():
     ref_lab = np.asarray(ref_lab)
 
     per_class, n_total, n_pure = {}, 0, 0
+    lab_of = {c: l for c, l in category_5_to_label.items()}
+    names = [c for c, _ in sorted(category_5_to_label.items(),
+                                  key=lambda kv: kv[1]) if lab_of[c] < n_cls]
     for cat, label in sorted(category_5_to_label.items(), key=lambda kv: kv[1]):
         if label >= n_cls:
             continue
@@ -95,11 +98,24 @@ def main():
         d, _ = pairwise_cd_emd(s, ref, emd=False)       # [n_samples, n_refs]
         pred = ref_lab[np.argmin(d, axis=1)]
         pure = int((pred == label).sum())
-        per_class[cat] = {"n": len(s), "purity": pure / len(s)}
+        # confusion row + margin: mean CD to the own class vs the best
+        # class — near-ties (margin ~1.0) are boundary blurs, large
+        # margins are genuinely wrong-family shapes
+        conf = {c: int((pred == lab_of[c]).sum()) for c in names}
+        own = float(np.mean(
+            [d[i, ref_lab == label].min() for i in range(len(s))]))
+        best = float(d.min(1).mean())
+        per_class[cat] = {
+            "n": len(s), "purity": pure / len(s), "confusion": conf,
+            "mean_own_class_cd": round(own, 5),
+            "mean_best_cd": round(best, 5),
+            "margin": round(own / max(best, 1e-9), 3),
+        }
         n_total += len(s)
         n_pure += pure
         print(f"[class {label} {cat:9s}] n={len(s):3d} purity="
-              f"{pure / len(s):.2f}")
+              f"{pure / len(s):.2f}  margin={own / max(best, 1e-9):.2f}  "
+              f"confusion={conf}")
 
     res = {"per_class": per_class,
            "overall_purity": n_pure / max(n_total, 1),
