@@ -379,6 +379,7 @@ def main():
     # ------------------------------------------------------------------
     start = int(state.step)
     t0 = time.time()
+    last_print_it = start - 1
     prof_until = start + args.profile if args.profile else -1
     # device-side running max of the per-step overflow flag, so an
     # edge-cap/conv-plan overflow at a non-print step still raises at the
@@ -412,7 +413,12 @@ def main():
         ovf.update(ld)
 
         if is_main and it % cfg.train.print_freq == 0:
-            dt = (time.time() - t0) / max(it - start + 1, 1)
+            # windowed rate (since the previous print), not a cumulative
+            # average — the compile-heavy first step otherwise distorts
+            # every later t/it line (the r4 depth-9 log needed caveating)
+            now = time.time()
+            dt = (now - t0) / max(it - last_print_it, 1)
+            t0, last_print_it = now, it
             vis.print_current_errors(it, {k2: v for k2, v in ld.items()}, dt)
             ovf.check()
             dog.poke()  # the loss fetch above proved end-to-end progress
