@@ -263,6 +263,15 @@ def main():
         rank = jax.process_index()
         my_idx = list(range(rank, args.count, world))
         rdir = os.path.join(run_dir, f"results_{args.category}")
+        # skip-existing: sample i is a pure function of (seed, i), so a
+        # watchdog-restarted generation resumes where it stopped instead
+        # of redoing the whole set (25 min at COUNT=256 on one chip)
+        done_idx = [i for i in my_idx
+                    if os.path.exists(os.path.join(rdir, f"{i}.obj"))]
+        if done_idx:
+            print(f"[*] {len(done_idx)}/{len(my_idx)} meshes already "
+                  f"present; generating the rest")
+            my_idx = [i for i in my_idx if i not in set(done_idx)]
         # make_dp_sample runs solver.dp_cascade per device (2-stage union or
         # the 3-hop union_3t cascade).  Work stripes per process, so the
         # generation mesh spans this process's LOCAL devices only.
