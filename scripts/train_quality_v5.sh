@@ -100,7 +100,9 @@ fid_standin_bg () {  # fid_standin_bg <sample_glob> <tag>: CPU FID, detached
 gen_eval () {  # gen_eval <hr_rundir> <tag>: ancestral-256 + full contract
     local RUN=$1 TAG=$2
     if [ ! -d "$RUN/results_airplane_a100" ]; then
-        rm -rf "$RUN/results_airplane"
+        # partial results_airplane contents here can only be THIS stage's
+        # ancestral outputs (dpmpp generates after the a100 mv) — keep
+        # them so train.py's skip-existing resumes a restarted generation
         python train.py --model union --stage hr --mode generate \
             --config $CFG --name "$(basename "$RUN")" --logs_dir $LOGS \
             --count $COUNT --vq_ckpt $LOGS/q5_vae/ckpt/steps-latest
@@ -116,26 +118,25 @@ gen_eval () {  # gen_eval <hr_rundir> <tag>: ancestral-256 + full contract
     fid_standin_bg "$RUN/results_airplane_a100/*.obj" "$TAG"
 }
 
+# STAGE ORDER (reshuffled mid-round-5): all TRAININGS first, all
+# dispatch-heavy evals (recon, generation, scoring) after.  Measured
+# motivation: at 16:50Z the shared pool slowed the per-shape recon path
+# (many small programs + D2H per shape) ~10x (60 s/shape vs ~6) while
+# big-program training steps ran at NOMINAL speed (0.83-0.95 s/it) —
+# dispatch/transfer contention, not device FLOPs.  Front-loading the
+# training keeps the protocol's chip time useful while the tunnel is
+# congested; every stage is still gated on its artifact, so the order
+# change is a pure reshuffle.
+
 # ---- recon ceiling of the v4 VAE (diagnostic, ~12 min) -------------------
 recon q4_vae $LOGS/q4_vae
 
-# ---- v5a: decoder axis (fresh VAE 6000 + hr 4000, lr frozen at v4's 8k) --
+# ---- trainings ------------------------------------------------------------
 stage_done $LOGS/q5_vae $VAE5_STEPS || \
 python train.py --model vae --mode train --config $CFG \
     --name q5_vae --logs_dir $LOGS --max_steps $VAE5_STEPS
 
-recon q5_vae $LOGS/q5_vae
-
-stage_done $LOGS/q5a_hr $HR5_STEPS || \
-python train.py --model union --stage hr --mode train --config $CFG \
-    --name q5a_hr --logs_dir $LOGS --max_steps $HR5_STEPS \
-    --vq_ckpt $LOGS/q5_vae/ckpt/steps-latest \
-    --pretrain_ckpt $LOGS/q4_lr/ckpt/steps-latest
-
-gen_eval $LOGS/q5a_hr q5a
-
-# ---- v5b: lr-schedule axis (lr 8k -> 30k, hr retrained against it) -------
-# Extend a COPY of q4_lr, not q4_lr itself: checkpoint rotation
+# v5b lr: extend a COPY of q4_lr, not q4_lr itself: checkpoint rotation
 # (ckpt_num=5) on an in-place extension would delete the 8k checkpoint
 # q5a_hr was initialised from, and the manifest would misdescribe q5a's
 # lr provenance (advisor r4).  q4_lr stays frozen at its 8k state.
@@ -149,6 +150,21 @@ python train.py --model union --stage lr --mode train --config $CFG \
     --name q5b_lr --logs_dir $LOGS --max_steps $LR5_STEPS \
     --pos_weight $POS_WEIGHT
 
+# v5a hr: decoder axis (fresh VAE 6000 + hr 4000, lr frozen at v4's 8k)
+stage_done $LOGS/q5a_hr $HR5_STEPS || \
+python train.py --model union --stage hr --mode train --config $CFG \
+    --name q5a_hr --logs_dir $LOGS --max_steps $HR5_STEPS \
+    --vq_ckpt $LOGS/q5_vae/ckpt/steps-latest \
+    --pretrain_ckpt $LOGS/q4_lr/ckpt/steps-latest
+
+# v5b hr: lr-schedule axis (hr retrained against the 30k lr)
+stage_done $LOGS/q5b_hr $HR5_STEPS || \
+python train.py --model union --stage hr --mode train --config $CFG \
+    --name q5b_hr --logs_dir $LOGS --max_steps $HR5_STEPS \
+    --vq_ckpt $LOGS/q5_vae/ckpt/steps-latest \
+    --pretrain_ckpt $LOGS/q5b_lr/ckpt/steps-latest
+
+# ---- evals (dispatch-heavy; v5b — the north-star axis — scores first) ----
 if [ ! -f "$RES/preflight_q5_lr30k.txt" ]; then
     { echo "# q5 lr pre-flight: pos_weight=$POS_WEIGHT, step $LR5_STEPS, $(date -u +%FT%TZ)"
       python tools/lr_occupancy.py --config $CFG --run $LOGS/q5b_lr \
@@ -157,12 +173,6 @@ if [ ! -f "$RES/preflight_q5_lr30k.txt" ]; then
     commit_results "v5 quality: lr-30k occupancy pre-flight" \
         "$RES/preflight_q5_lr30k.txt"
 fi
-
-stage_done $LOGS/q5b_hr $HR5_STEPS || \
-python train.py --model union --stage hr --mode train --config $CFG \
-    --name q5b_hr --logs_dir $LOGS --max_steps $HR5_STEPS \
-    --vq_ckpt $LOGS/q5_vae/ckpt/steps-latest \
-    --pretrain_ckpt $LOGS/q5b_lr/ckpt/steps-latest
 
 gen_eval $LOGS/q5b_hr q5b
 
@@ -184,6 +194,10 @@ fi
 commit_results "v5 quality: dpmpp-25 re-validation at the best checkpoint" \
     "$RES/metrics_q5b_dpmpp25.json"
 fid_standin_bg "$LOGS/q5b_hr/results_airplane_dpmpp25/*.obj" q5b_dpmpp25
+
+recon q5_vae $LOGS/q5_vae
+
+gen_eval $LOGS/q5a_hr q5a
 
 # drain the detached CPU FID jobs before the manifest (their artifacts
 # are part of the v5 evidence set)
