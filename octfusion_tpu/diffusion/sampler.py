@@ -49,10 +49,12 @@ def sample_loop(
     multistep on the probability-flow ODE, data-prediction form) over the
     same uniform time grid — the TPU fast path: ~4x fewer denoiser calls,
     and the denoiser dominates sampling wall-time.  Quality evidence
-    (METRICS_r04.md, 256-shape sets under the full eval contract): dpmpp
-    at 50 and 25 steps matches the ancestral protocol within the ±2%
-    noise band on 1-NNA/MMD/stand-in-FID; the one measured cost is a
-    modest COV-EMD dip (0.46 ancestral → 0.41 @50 → 0.39 @25)."""
+    (METRICS_r04.md and the re-validation at the improved v5b checkpoint
+    in METRICS_r05.md, 256-shape sets under the full eval contract):
+    dpmpp-25 matches ancestral within noise on 1-NNA-CD/COV-CD/MMD
+    (0.795 vs 0.800, 0.410 vs 0.414, parity at the best generator); the
+    measured cost sits in the EMD columns (1-NNA-EMD +3.6 pts, COV-EMD
+    −2 pts at v5b; −7 pts COV-EMD at the weaker q4 checkpoint)."""
     if solver == "dpmpp":
         return _sample_loop_dpmpp(
             denoise_fn, key, shape, batch_size, steps, log_snr_fn,
