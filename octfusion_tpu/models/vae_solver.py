@@ -117,6 +117,17 @@ class VAESolver:
 
         return step
 
+    def _jit(self, name, fn, **kw):
+        # per-solver jit cache: a fresh jax.jit closure per call would pay
+        # a remote compile-cache round trip PER SHAPE over the axon tunnel
+        # (measured: recon crawled at minutes/shape; UnionSolver has the
+        # same pattern for its sampling path)
+        if not hasattr(self, "_jit_store"):
+            self._jit_store = {}
+        if name not in self._jit_store:
+            self._jit_store[name] = jax.jit(fn, **kw)
+        return self._jit_store[name]
+
     # ------------------------------------------------------------------
     def reconstruct(self, params, batch, key, resolution: Optional[int] = None,
                     save_paths=None, fast_mesh: bool = False):
@@ -131,8 +142,9 @@ class VAESolver:
             jnp.asarray(batch["points"]), jnp.asarray(batch["normals"]),
             self.spec1, self.edge_factor, features=feats,
         )
-        mean, _ = jax.jit(
-            lambda p, g: self.vae.apply(p, g, method=GraphVAE.encode)
+        mean, _ = self._jit(
+            "encode",
+            lambda p, g: self.vae.apply(p, g, method=GraphVAE.encode),
         )(params, g)
 
         def small_graph(o):
@@ -141,9 +153,11 @@ class VAESolver:
                 o_small, self.edge_factor, up_to=m.depth_stop
             )
 
-        g_small = jax.jit(small_graph)(octree)
-        out = jax.jit(
-            lambda p, c, g: self.vae.apply(p, c, g, method=GraphVAE.decode_grow)
+        g_small = self._jit("small_graph", small_graph)(octree)
+        out = self._jit(
+            "decode_grow",
+            lambda p, c, g: self.vae.apply(p, c, g,
+                                           method=GraphVAE.decode_grow),
         )(params, mean, g_small)
         res = resolution or self.cfg.solver.resolution
         if save_paths is not None and fast_mesh:
