@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--out", default=None, help="JSON output path")
     args = ap.parse_args()
 
+    from octfusion_tpu.utils import jaxcache
+
+    jaxcache.enable()  # avoid full remote compiles per fresh process
+
     from octfusion_tpu import config as config_lib
     from octfusion_tpu.data.dataset import get_dataset
     from octfusion_tpu.data.shapenet import category_5_to_label

@@ -82,6 +82,12 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
+    from octfusion_tpu.utils import jaxcache
+
+    # persistent compile cache: a fresh eval process otherwise pays full
+    # remote compiles for the pairwise tiles (50-300 s each on axon)
+    jaxcache.enable()
+
     s_paths = sorted(glob.glob(args.samples))
     r_paths = sorted(glob.glob(args.reference))
     assert s_paths and r_paths, (args.samples, args.reference)

@@ -41,6 +41,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from octfusion_tpu.utils import jaxcache
+
+    jaxcache.enable()  # avoid full remote compiles per fresh process
+
     from octfusion_tpu import config as config_lib
     from octfusion_tpu.data.dataset import collate, get_dataset
     from octfusion_tpu.models.common import batch_to_octree

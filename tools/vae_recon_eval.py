@@ -42,6 +42,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from octfusion_tpu.utils import jaxcache
+
+    # persistent compile cache: without it every fresh recon process pays
+    # full remote compiles (50-300 s/program over the axon tunnel)
+    jaxcache.enable()
+
     from octfusion_tpu import config as config_lib
     from octfusion_tpu.data.dataset import (
         SyntheticDataset, collate, fits_capacity,
