@@ -35,6 +35,12 @@ class VAEConfig:
     resblk_num: int = 2
     channels: Tuple[int, ...] = (4, 512, 512, 256, 128, 64, 32, 32, 24, 8)
     use_checkpoint: bool = True
+    # rematerialisation policy for the res blocks: "full" (reference
+    # behaviour — recompute the whole block in the backward), "conv"
+    # (save GraphConv outputs, recompute only norm/swish glue), "dots",
+    # or "none"; see nn/modules.py::remat_transform and the A/B
+    # measurement in results/vae_remat_ab.json
+    remat_policy: str = "full"
 
 
 @dataclasses.dataclass(frozen=True)

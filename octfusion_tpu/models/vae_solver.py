@@ -29,6 +29,7 @@ class VAESolver:
             depth_stop=m.depth_stop, depth_out=m.depth_out,
             embed_dim=m.embed_dim, resblk_num=m.resblk_num,
             channels=tuple(m.channels), use_checkpoint=m.use_checkpoint,
+            remat_policy=m.remat_policy,
             color_channel=3 if self.use_color else 0,
         )
         self.spec1 = cfg.capacity.octree_spec(m.depth, m.full_depth, 1)

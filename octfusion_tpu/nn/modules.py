@@ -16,6 +16,7 @@ import math
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from ..octree.dual_graph import DualGraph, GraphLevel, N_EDGE_TYPE
 from ..ops import graph_ops
@@ -23,6 +24,39 @@ from ..ops import graph_ops
 
 def swish(x):
     return x * jax.nn.sigmoid(x)
+
+
+def remat_transform(policy: str):
+    """Resolve a remat-policy name to a flax module transform (or None).
+
+    The reference remats every res-block wholesale (ckpt_conv_wrapper,
+    `modules.py:593-641`), which on TPU makes the backward pass re-run the
+    full forward — measured at 77% of the full-cap VAE train step
+    (`results/vae_step_profile.json`).  Policies trade HBM for that
+    recompute:
+
+      "full"  save nothing, recompute everything (reference behaviour)
+      "conv"  save only the GraphConv outputs (tagged ``graph_conv`` via
+              ``checkpoint_name``) — the matmul-heavy ops are not re-run
+              in the backward; the cheap norm/swish glue still is
+      "dots"  XLA's dots_saveable policy (save every matmul result; does
+              NOT cover pallas/custom-vjp convs, hence "conv" above)
+      "none"  no remat (peak-memory baseline)
+    """
+    if policy == "none":
+        return None
+    if policy == "conv":
+        return lambda body: nn.remat(
+            body,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "graph_conv"),
+        )
+    if policy == "dots":
+        return lambda body: nn.remat(
+            body, policy=jax.checkpoint_policies.dots_saveable)
+    if policy == "full":
+        return nn.remat
+    raise ValueError(f"unknown remat policy: {policy!r}")
 
 
 def group_count(channels: int, group: int = 32) -> int:
@@ -253,6 +287,7 @@ class GraphResBlock(nn.Module):
     dropout: float = 0.0
     n_node_type: int = 0
     use_checkpoint: bool = True
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(self, x, lvl: GraphLevel, deterministic: bool = True):
@@ -263,6 +298,7 @@ class GraphResBlock(nn.Module):
                 mdl.channel_in, mdl.channel_out,
                 n_node_type=mdl.n_node_type, name="conv1",
             )(h, lvl)
+            h = checkpoint_name(h, "graph_conv")
             h = DualOctreeGroupNorm(mdl.channel_out, name="norm2")(h, lvl)
             h = swish(h)
             if mdl.dropout > 0:
@@ -271,14 +307,18 @@ class GraphResBlock(nn.Module):
                 mdl.channel_out, mdl.channel_out,
                 n_node_type=mdl.n_node_type, name="conv2",
             )(h, lvl)
+            h = checkpoint_name(h, "graph_conv")
             if mdl.channel_in != mdl.channel_out:
                 x = Conv1x1Gn(mdl.channel_in, mdl.channel_out, name="conv1x1c")(
                     x, lvl
                 )
+                x = checkpoint_name(x, "graph_conv")
             return h + x
 
-        if self.use_checkpoint:
-            body = nn.remat(body)
+        wrap = remat_transform(self.remat_policy) if self.use_checkpoint \
+            else None
+        if wrap is not None:
+            body = wrap(body)
         return body(self, x)
 
 
@@ -289,6 +329,7 @@ class GraphResBlocks(nn.Module):
     dropout: float = 0.0
     n_node_type: int = 0
     use_checkpoint: bool = True
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(self, x, lvl: GraphLevel, deterministic: bool = True):
@@ -296,7 +337,7 @@ class GraphResBlocks(nn.Module):
         for i in range(self.resblk_num):
             x = GraphResBlock(
                 channels[i], channels[i + 1], self.dropout,
-                self.n_node_type, self.use_checkpoint,
+                self.n_node_type, self.use_checkpoint, self.remat_policy,
                 name=f"resblks_{i}",
             )(x, lvl, deterministic)
         return x
@@ -313,6 +354,7 @@ class GraphResBlockEmbed(nn.Module):
     dropout: float = 0.0
     n_node_type: int = 0
     use_checkpoint: bool = True
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(self, x, emb, lvl: GraphLevel, deterministic: bool = True):
@@ -323,6 +365,7 @@ class GraphResBlockEmbed(nn.Module):
                 mdl.channels, mdl.out_channels,
                 n_node_type=mdl.n_node_type, name="conv1",
             )(h, lvl)
+            h = checkpoint_name(h, "graph_conv")
             e = nn.Dense(mdl.out_channels, name="emb_layers")(swish(emb))
             h = graph_ops.add_batch_embedding(h, e.astype(h.dtype), lvl)
             h = DualOctreeGroupNorm(mdl.out_channels, name="block2_norm")(h, lvl)
@@ -333,16 +376,20 @@ class GraphResBlockEmbed(nn.Module):
                 mdl.out_channels, mdl.out_channels,
                 n_node_type=mdl.n_node_type, zero_init=True, name="conv2",
             )(h, lvl)
+            h = checkpoint_name(h, "graph_conv")
             if mdl.out_channels == mdl.channels:
                 skip = x
             else:
                 skip = Conv1x1(
                     mdl.channels, mdl.out_channels, name="skip_connection"
                 )(x)
+                skip = checkpoint_name(skip, "graph_conv")
             return skip + h
 
-        if self.use_checkpoint:
-            body = nn.remat(body)
+        wrap = remat_transform(self.remat_policy) if self.use_checkpoint \
+            else None
+        if wrap is not None:
+            body = wrap(body)
         return body(self, x, emb)
 
 

@@ -66,6 +66,7 @@ class GraphVAE(nn.Module):
     resblk_num: int = 2
     channels: Tuple[int, ...] = DEFAULT_CHANNELS
     use_checkpoint: bool = True
+    remat_policy: str = "full"
     # optional per-node color regression (the reference's `load_color` /
     # geometry_color_loss capability, `loss.py:180-197`); 0 = off
     color_channel: int = 0
@@ -80,6 +81,7 @@ class GraphVAE(nn.Module):
             modules.GraphResBlocks(
                 ch[d], ch[d], self.resblk_num - 1,
                 n_node_type=d - 1, use_checkpoint=self.use_checkpoint,
+                remat_policy=self.remat_policy,
                 name=f"encoder_{i}",
             )
             for i, d in enumerate(range(depth, ds - 1, -1))
@@ -99,16 +101,19 @@ class GraphVAE(nn.Module):
         )
         self.decoder_mid_1 = modules.GraphResBlocks(
             ch[ds], ch[ds], self.resblk_num, n_node_type=ds - 1,
-            use_checkpoint=self.use_checkpoint, name="decoder_mid_block_1",
+            use_checkpoint=self.use_checkpoint,
+            remat_policy=self.remat_policy, name="decoder_mid_block_1",
         )
         self.decoder_mid_2 = modules.GraphResBlocks(
             ch[ds], ch[ds], self.resblk_num, n_node_type=ds - 1,
-            use_checkpoint=self.use_checkpoint, name="decoder_mid_block_2",
+            use_checkpoint=self.use_checkpoint,
+            remat_policy=self.remat_policy, name="decoder_mid_block_2",
         )
         self.decoder_blocks = [
             modules.GraphResBlocks(
                 ch[d], ch[d], self.resblk_num, n_node_type=d - 1,
-                use_checkpoint=self.use_checkpoint, name=f"decoder_{i}",
+                use_checkpoint=self.use_checkpoint,
+                remat_policy=self.remat_policy, name=f"decoder_{i}",
             )
             for i, d in enumerate(range(ds, self.depth_out + 1))
         ]
