@@ -265,7 +265,8 @@ def main():
                 jnp.float32(cfg.solver.sdf_scale), cell_cap, 0.0,
             ).compile()
 
-        with ThreadPoolExecutor(max_workers=8) as ex:
+        warm_workers = int(os.environ.get("BENCH_WARM_WORKERS", "8"))
+        with ThreadPoolExecutor(max_workers=warm_workers) as ex:
             futs = solver.warm_compile(
                 state.ema_params, vae_state.params, batch_size=bench_batch,
                 steps=steps, executor=ex,
@@ -281,8 +282,18 @@ def main():
             futs.append(
                 ex.submit(lambda: analytic_reg_jit.lower(oct_spec).compile())
             )
+            # a failed parallel compile (the axon compile helper SIGKILLs
+            # under memory pressure when several full-cap programs compile
+            # concurrently — observed 2026-08-20) must degrade to the
+            # serial compile in the warm-up run below, not crash the bench
             for f in futs:
-                f.result()
+                try:
+                    f.result()
+                except Exception as e:
+                    sys.stderr.write(
+                        f"[bench] parallel warm compile failed "
+                        f"({type(e).__name__}); that program will compile "
+                        f"serially in the warm-up run\n")
         phase("warmup_parallel")
 
     # warm-up run (cache hits after a parallel warm; compiles serially
